@@ -25,7 +25,7 @@ def _strip_comments(text: str) -> str:
 
 def extract_array(name: str, source: str):
     """Extract (possibly nested) C initializer ``name[...] = {...}`` as lists."""
-    m = re.search(re.escape(name) + r"\s*\[[^=]*=\s*\{", source)
+    m = re.search(re.escape(name) + r"\s*\[[^=]*=[^{]*\{", source)
     if m is None:
         raise KeyError(name)
     start = m.end() - 1
