@@ -1,0 +1,50 @@
+"""The JAX cost engine must match the NumPy golden model bit-for-bit on
+every valid CU — including frames with partial CTUs at the bottom and right
+edges and the alternative-samples (distinct reference frame) regime."""
+
+import numpy as np
+import pytest
+
+from vvc_mip_gpu_tpu.golden import reference_model as gm
+from vvc_mip_gpu_tpu.models.cost_engine import MipCostEngine
+
+RNG = np.random.default_rng(11)
+
+
+def _check(width, height, distinct_ref=False):
+    frame = RNG.integers(0, 1024, size=(height, width), dtype=np.int64)
+    ref = (RNG.integers(0, 1024, size=(height, width), dtype=np.int64)
+           if distinct_ref else frame)
+    engine = MipCostEngine(width, height)
+    got = engine(frame.astype(np.int32), ref.astype(np.int32))
+    exp = gm.frame_costs(frame, ref)
+    valid = np.asarray(got.valid)
+    for field in ("sad", "satd", "min_sad_had"):
+        e = gm.flatten_strided(exp, field)
+        a = np.asarray(getattr(got, field), np.int64)
+        mism = (e != a) & valid
+        assert not mism.any(), (
+            f"{field}: {mism.sum()} mismatches at {np.argwhere(mism)[:5]}")
+    # Validity mask must agree with the golden model's per-group masks.
+    vexp = np.concatenate(
+        [np.repeat(exp[g].valid, exp[g].sad.shape[-1], axis=1)
+         for g in sorted(exp)], axis=1)
+    np.testing.assert_array_equal(valid, vexp)
+
+
+def test_aligned_2x2_ctus():
+    _check(256, 256)
+
+
+def test_partial_bottom_and_right():
+    # 4.75 CTU cols x 1.5 CTU rows — exercises right and bottom partials
+    _check(608, 192)
+
+
+def test_alternative_samples_regime():
+    _check(256, 128, distinct_ref=True)
+
+
+@pytest.mark.slow
+def test_416x240():
+    _check(416, 240)

@@ -1,0 +1,150 @@
+"""The flagship model: full-frame MIP mode-search cost engine.
+
+Computes, for every candidate CU of every size group in every CTU and every
+(transposed and non-transposed) MIP mode, the SAD / SATD / minSadHad costs —
+the TPU-native equivalent of the reference's per-frame kernel pipeline
+initBoundaries -> MIP_ReducedPred -> upsampleDistortion
+(reference: main.cpp:678-1241).
+
+Design (TPU-first, see SURVEY.md §7.1): instead of 47 size-specialized GPU
+work-group programs, CUs are batched by *shape class* — all CUs sharing
+(width, height, SizeId) across all alignment groups and CTUs form one dense
+tensor, so the whole mode search per class is a single gather -> einsum ->
+interpolate -> reduce chain that XLA fuses.  All arithmetic is exact int32,
+bit-identical to the golden model.
+
+Out-of-frame CUs (partial CTUs at the bottom/right frame edges) are computed
+from edge-clamped gathers — deterministic, documented values — and flagged
+invalid in the validity mask.  The reference leaves undefined buffer contents
+for these CUs (intra.cl:96-98), so only valid CUs are comparable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from vvc_mip_gpu_tpu.constants import (
+    GROUPS,
+    STRIDED_DISTORTIONS_PER_CTU,
+    num_ctus,
+)
+from vvc_mip_gpu_tpu.ops import mip_ops
+from vvc_mip_gpu_tpu.ops.geometry import ClassPlan, class_plans
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FrameCosts:
+    """Cost tensors in the reference's strided per-CTU layout.
+
+    Index within a CTU slab: STRIDED_DISTORTIONS_PER_CTU[group] +
+    cu * 2*num_modes + mode (reference: intra.cl:1144-1148); shape
+    [nCTU, STRIDED_DISTORTIONS_PER_CTU[-1]] = [nCTU, 97840].
+    """
+
+    sad: jax.Array
+    satd: jax.Array
+    min_sad_had: jax.Array
+    valid: jax.Array  # bool, same layout; False for out-of-frame CUs
+
+
+def _class_costs(frame, ref, cplan: ClassPlan):
+    """Costs of one shape class: ([nCTU, nCU_class, 2M] sad, satd)."""
+    shape = cplan.shape
+    w, h = shape.width, shape.height
+    ref_t_parts, ref_l_parts, orig_parts = [], [], []
+    for gp in cplan.groups:
+        rt, rl = mip_ops.gather_boundaries(ref, gp)
+        ref_t_parts.append(gp.to_ctu_layout_jnp(rt))
+        ref_l_parts.append(gp.to_ctu_layout_jnp(rl))
+        orig_parts.append(gp.to_ctu_layout_jnp(mip_ops.gather_originals(frame, gp)))
+    ref_t = jnp.concatenate(ref_t_parts, axis=1)  # [nCTU, nCU, w]
+    ref_l = jnp.concatenate(ref_l_parts, axis=1)  # [nCTU, nCU, h]
+    orig = jnp.concatenate(orig_parts, axis=1)  # [nCTU, nCU, h, w]
+
+    red_t = mip_ops.reduce_boundary(ref_t, shape.boundary_size)
+    red_l = mip_ops.reduce_boundary(ref_l, shape.boundary_size)
+    pred = mip_ops.reduced_prediction_all_modes(red_t, red_l, shape.size_id)
+    if shape.size_id > 0:
+        pred = mip_ops.upsample_all(pred, ref_t, ref_l, w, h)
+    sad, satd = mip_ops.distortion(orig[..., None, :, :], pred)
+    return sad, satd
+
+
+def _flatten_strided(blocks: dict[int, jax.Array]) -> jax.Array:
+    """Concatenate per-group [nCTU, n*2M] blocks into the strided layout."""
+    return jnp.concatenate([blocks[g.index] for g in GROUPS], axis=1)
+
+
+def _compute(frame, ref, width: int, height: int) -> FrameCosts:
+    frame = frame.astype(jnp.int32)
+    ref = ref.astype(jnp.int32)
+    sad_blocks: dict[int, jax.Array] = {}
+    satd_blocks: dict[int, jax.Array] = {}
+    for cplan in class_plans(width, height):
+        sad, satd = _class_costs(frame, ref, cplan)
+        n_ctu = sad.shape[0]
+        # Split the class CU axis back into per-group blocks (static sizes).
+        for gp, off in zip(cplan.groups,
+                           cplan.shape.cu_offsets):
+            n = GROUPS[gp.group_index].cus_per_ctu
+            sad_blocks[gp.group_index] = (
+                sad[:, off:off + n].reshape(n_ctu, -1))
+            satd_blocks[gp.group_index] = (
+                satd[:, off:off + n].reshape(n_ctu, -1))
+    sad_flat = _flatten_strided(sad_blocks)
+    satd_flat = _flatten_strided(satd_blocks)
+    return FrameCosts(
+        sad=sad_flat,
+        satd=satd_flat,
+        min_sad_had=jnp.minimum(2 * sad_flat, satd_flat),
+        valid=_validity_mask(width, height),
+    )
+
+
+@functools.cache
+def _validity_mask(width: int, height: int):
+    """Static [nCTU, 97840] bool mask of fully-in-frame CUs."""
+    import numpy as np
+
+    _, _, n_ctu = num_ctus(width, height)
+    out = np.zeros((n_ctu, int(STRIDED_DISTORTIONS_PER_CTU[-1])), bool)
+    for cplan in class_plans(width, height):
+        for gp in cplan.groups:
+            g = GROUPS[gp.group_index]
+            v = gp.to_ctu_layout(gp.valid)  # [nCTU, nCU]
+            v = np.repeat(v, g.total_modes, axis=1)
+            start = int(STRIDED_DISTORTIONS_PER_CTU[g.index])
+            out[:, start:start + v.shape[1]] = v
+    return jnp.asarray(out)
+
+
+class MipCostEngine:
+    """Compiled full-frame MIP cost search for a fixed frame size.
+
+    >>> engine = MipCostEngine(1920, 1080)
+    >>> costs = engine(frame)                    # original-sample regime
+    >>> costs = engine(frame, filtered_frame)    # alternative-sample regime
+    """
+
+    def __init__(self, width: int, height: int):
+        if width % 4 or height % 4:
+            raise ValueError("frame dimensions must be multiples of 4")
+        self.width = width
+        self.height = height
+        self.n_ctus = num_ctus(width, height)[2]
+        self._fn = jax.jit(
+            functools.partial(_compute, width=width, height=height))
+
+    def __call__(self, frame, ref_frame=None) -> FrameCosts:
+        """frame: [H, W] integer luma samples (10-bit).  ref_frame: the
+        boundary-sample source; defaults to ``frame`` (pass the low-pass
+        filtered frame for the alternative-samples regime,
+        reference: main.cpp:818-822)."""
+        if ref_frame is None:
+            ref_frame = frame
+        return self._fn(frame, ref_frame)

@@ -1,0 +1,133 @@
+"""Static geometry plans: precomputed gather indices for the TPU engine.
+
+The reference engine resolves CU geometry per work-item at kernel runtime
+from constant tables (reference: intra.cl:81-90, 214-226).  On TPU all
+geometry is static: for a given frame size we precompute, per size group,
+the global CU coordinate lattices and the row/column gather index vectors,
+so every boundary/original-sample fetch in the engine is a pair of
+`jnp.take` ops with compile-time-constant indices followed by reshapes.
+
+Because every group's CUs form a cartesian lattice (see constants.py), a
+group's samples factor as (row indices) x (column indices); gathering a
+whole frame's worth of CUs is two structured takes instead of a per-CU
+gather — the TPU-native answer to the reference's strided per-work-item
+reads (the reference author's own TODO at intra.cl:229-231 wishes for
+exactly this).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+from vvc_mip_gpu_tpu.constants import (
+    CTU_SIZE,
+    GROUPS,
+    ShapeClass,
+    num_ctus,
+    shape_classes,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class GroupPlan:
+    """Gather plan for one size group at a fixed frame size.
+
+    CU axis convention: the engine's dense layout is
+    [ctu_row, cu_row, ctu_col, cu_col] flattened as
+    (row-CU major x col-CU minor); `to_ctu_layout` permutes a gathered
+    tensor into the reference's [nCTU, cuIdxInCtu] ordering.
+    """
+
+    group_index: int
+    width: int  # CU width
+    height: int  # CU height
+    # Global CU origin coordinates along each lattice axis:
+    ys: np.ndarray  # [n_rows_total] unclipped CU y origins
+    xs: np.ndarray  # [n_cols_total] unclipped CU x origins
+    yc: np.ndarray  # clipped to keep the CU window inside the frame
+    xc: np.ndarray
+    ctu_rows: int
+    ctu_cols: int
+    cu_rows: int  # CU rows per CTU
+    cu_cols: int
+
+    @property
+    def n_rows(self) -> int:
+        return len(self.ys)
+
+    @property
+    def n_cols(self) -> int:
+        return len(self.xs)
+
+    @property
+    def valid(self) -> np.ndarray:
+        """[n_rows, n_cols] bool — CU fully inside the frame."""
+        return ((self.ys == self.yc)[:, None]) & ((self.xs == self.xc)[None, :])
+
+    def to_ctu_layout(self, arr: np.ndarray) -> np.ndarray:
+        """Reorder leading [n_rows, n_cols] axes to [nCTU, cusPerCtu]."""
+        tail = arr.shape[2:]
+        a = arr.reshape(self.ctu_rows, self.cu_rows, self.ctu_cols,
+                        self.cu_cols, *tail)
+        a = np.moveaxis(a, 2, 1)
+        return a.reshape(self.ctu_rows * self.ctu_cols,
+                         self.cu_rows * self.cu_cols, *tail)
+
+    # The same permutation for jnp arrays (used inside jit).
+    def to_ctu_layout_jnp(self, arr):
+        import jax.numpy as jnp
+
+        tail = arr.shape[2:]
+        a = arr.reshape(self.ctu_rows, self.cu_rows, self.ctu_cols,
+                        self.cu_cols, *tail)
+        a = jnp.moveaxis(a, 2, 1)
+        return a.reshape(self.ctu_rows * self.ctu_cols,
+                         self.cu_rows * self.cu_cols, *tail)
+
+
+@dataclasses.dataclass(frozen=True)
+class ClassPlan:
+    """All groups of one shape class at a fixed frame size."""
+
+    shape: ShapeClass
+    groups: tuple[GroupPlan, ...]
+    n_ctus: int
+
+
+def _group_plan(group_index: int, frame_w: int, frame_h: int) -> GroupPlan:
+    g = GROUPS[group_index]
+    ctu_cols, ctu_rows, _ = num_ctus(frame_w, frame_h)
+    ys = (np.arange(ctu_rows)[:, None] * CTU_SIZE
+          + np.asarray(g.ys, np.int64)[None, :]).ravel()
+    xs = (np.arange(ctu_cols)[:, None] * CTU_SIZE
+          + np.asarray(g.xs, np.int64)[None, :]).ravel()
+    return GroupPlan(
+        group_index=group_index,
+        width=g.width,
+        height=g.height,
+        ys=ys,
+        xs=xs,
+        yc=np.clip(ys, 0, frame_h - g.height),
+        xc=np.clip(xs, 0, frame_w - g.width),
+        ctu_rows=ctu_rows,
+        ctu_cols=ctu_cols,
+        cu_rows=g.cu_rows,
+        cu_cols=g.cu_columns,
+    )
+
+
+@functools.cache
+def class_plans(frame_w: int, frame_h: int) -> tuple[ClassPlan, ...]:
+    _, _, n = num_ctus(frame_w, frame_h)
+    return tuple(
+        ClassPlan(
+            shape=cl,
+            groups=tuple(_group_plan(i, frame_w, frame_h)
+                         for i in cl.group_indices),
+            n_ctus=n,
+        )
+        for cl in shape_classes()
+    )
