@@ -1,0 +1,61 @@
+"""Benchmark harness: 1080p full MIP mode-search throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measurement protocol mirrors the reference's write->compute->read window
+(reference: main_aux_functions.h:908-914): each iteration feeds a *distinct*
+frame (defeating any backend memoization) and forces a device-side checksum
+readback so asynchronous dispatch cannot hide execution time.
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md); we use
+60 frames/s as the assumed OpenCL-engine 1080p baseline (a generous desktop
+GPU estimate for the same workload) so the ratio is comparable across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+ASSUMED_BASELINE_FPS = 60.0
+W, H = 1920, 1080
+WARMUP = 2
+ITERS = 8
+
+
+def main() -> None:
+    from vvc_mip_gpu_tpu.models.cost_engine import MipCostEngine
+
+    engine = MipCostEngine(W, H)
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(rng.integers(0, 1024, size=(H, W), dtype=np.int32))
+    base = jax.device_put(base)
+
+    def run(i: int) -> int:
+        costs = engine(base ^ (i + 1))
+        # Forced scalar readback: blocks until the whole pipeline executed.
+        return int(jnp.sum(costs.min_sad_had, dtype=jnp.int64))
+
+    for i in range(WARMUP):
+        run(i)
+    t0 = time.perf_counter()
+    checksum = 0
+    for i in range(ITERS):
+        checksum ^= run(WARMUP + i)
+    dt = (time.perf_counter() - t0) / ITERS
+    fps = 1.0 / dt
+    print(json.dumps({
+        "metric": "mip_search_1080p_frames_per_second",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / ASSUMED_BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

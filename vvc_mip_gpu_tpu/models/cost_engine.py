@@ -52,13 +52,13 @@ class FrameCosts:
     valid: jax.Array  # bool, same layout; False for out-of-frame CUs
 
 
-def _class_costs(frame, ref, cplan: ClassPlan):
+def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan):
     """Costs of one shape class: ([nCTU, nCU_class, 2M] sad, satd)."""
     shape = cplan.shape
     w, h = shape.width, shape.height
     ref_t_parts, ref_l_parts, orig_parts = [], [], []
     for gp in cplan.groups:
-        rt, rl = mip_ops.gather_boundaries(ref, gp)
+        rt, rl = mip_ops.gather_boundaries_halo(ref_ext, gp, is_top)
         ref_t_parts.append(gp.to_ctu_layout_jnp(rt))
         ref_l_parts.append(gp.to_ctu_layout_jnp(rl))
         orig_parts.append(gp.to_ctu_layout_jnp(mip_ops.gather_originals(frame, gp)))
@@ -80,13 +80,19 @@ def _flatten_strided(blocks: dict[int, jax.Array]) -> jax.Array:
     return jnp.concatenate([blocks[g.index] for g in GROUPS], axis=1)
 
 
-def _compute(frame, ref, width: int, height: int) -> FrameCosts:
-    frame = frame.astype(jnp.int32)
-    ref = ref.astype(jnp.int32)
+def compute_ext(frame, ref_ext, is_top, width: int, height: int):
+    """Cost computation against a halo-extended reference slab.
+
+    ``frame`` is the [height, width] distortion-target slab; ``ref_ext`` is
+    [height+1, width] with the sample row above the slab at index 0 (a halo
+    exchanged from the neighboring shard in the spatial-parallel engine).
+    ``is_top`` (bool, may be traced) marks the slab holding the frame's
+    global top row.  Returns (sad, satd) in the flat strided layout.
+    """
     sad_blocks: dict[int, jax.Array] = {}
     satd_blocks: dict[int, jax.Array] = {}
     for cplan in class_plans(width, height):
-        sad, satd = _class_costs(frame, ref, cplan)
+        sad, satd = _class_costs(frame, ref_ext, is_top, cplan)
         n_ctu = sad.shape[0]
         # Split the class CU axis back into per-group blocks (static sizes).
         for gp, off in zip(cplan.groups,
@@ -96,8 +102,14 @@ def _compute(frame, ref, width: int, height: int) -> FrameCosts:
                 sad[:, off:off + n].reshape(n_ctu, -1))
             satd_blocks[gp.group_index] = (
                 satd[:, off:off + n].reshape(n_ctu, -1))
-    sad_flat = _flatten_strided(sad_blocks)
-    satd_flat = _flatten_strided(satd_blocks)
+    return _flatten_strided(sad_blocks), _flatten_strided(satd_blocks)
+
+
+def _compute(frame, ref, width: int, height: int) -> FrameCosts:
+    frame = frame.astype(jnp.int32)
+    ref = ref.astype(jnp.int32)
+    ref_ext = jnp.concatenate([ref[:1], ref], axis=0)  # dummy halo row
+    sad_flat, satd_flat = compute_ext(frame, ref_ext, True, width, height)
     return FrameCosts(
         sad=sad_flat,
         satd=satd_flat,

@@ -43,26 +43,44 @@ def gather_boundaries(ref, plan: GroupPlan):
     lattice layout, implementing the VVC edge-padding rules
     (reference: intra.cl:96-107, 232-243).
     """
+    ref_ext = jnp.concatenate([ref[:1], ref], axis=0)  # dummy halo row
+    return gather_boundaries_halo(ref_ext, plan, is_top=True)
+
+
+def gather_boundaries_halo(ref_ext, plan: GroupPlan, is_top):
+    """Boundary gather against a halo-extended reference slab.
+
+    ``ref_ext`` is [H_local + 1, W]: row 0 is the sample row directly above
+    this slab (exchanged from the neighbor shard in the spatially-sharded
+    engine; a dummy for a whole frame).  ``is_top`` says whether local row 0
+    is the frame's global row 0; it may be a traced bool scalar, in which
+    case the frame-top padding rules are applied via a select — the
+    TPU-native equivalent of the reference's per-work-item edge branches
+    (intra.cl:96-107).
+    """
     w, h = plan.width, plan.height
-    # Top: the row above each CU row, sliced at each CU column window.
-    top_rows = jnp.take(ref, np.maximum(plan.yc - 1, 0), axis=0)
+    # Row directly above each CU row lives at ref_ext[yc] (halo offset +1).
+    top_rows = jnp.take(ref_ext, plan.yc, axis=0)
     col_idx = (plan.xc[:, None] + np.arange(w)[None, :]).ravel()
     ref_t = jnp.take(top_rows, col_idx, axis=1).reshape(
         plan.n_rows, plan.n_cols, w)
-    # Top-edge padding: every sample <- sample left of the CU's first sample.
+    # Frame-top padding: every sample <- sample left of the CU's first
+    # sample in frame row 0 (= local row 0 = ref_ext[1] when is_top).
     top_pad = jnp.where(plan.xc > 0,
-                        ref[0, np.maximum(plan.xc - 1, 0)], VALUE_DC)
-    ref_t = jnp.where((plan.yc > 0)[:, None, None], ref_t,
-                      top_pad[None, :, None])
+                        ref_ext[1, np.maximum(plan.xc - 1, 0)], VALUE_DC)
+    top_fix = jnp.logical_and(jnp.asarray(plan.yc == 0), is_top)
+    ref_t = jnp.where(top_fix[:, None, None], top_pad[None, :, None], ref_t)
 
     # Left: the column left of each CU column, sliced per CU row window.
-    left_cols = jnp.take(ref, np.maximum(plan.xc - 1, 0), axis=1)
-    row_idx = (plan.yc[:, None] + np.arange(h)[None, :]).ravel()
+    left_cols = jnp.take(ref_ext, np.maximum(plan.xc - 1, 0), axis=1)
+    row_idx = (plan.yc[:, None] + 1 + np.arange(h)[None, :]).ravel()
     ref_l = jnp.take(left_cols, row_idx, axis=0).reshape(
         plan.n_rows, h, plan.n_cols)
     ref_l = jnp.moveaxis(ref_l, 1, 2)  # [n_rows, n_cols, h]
-    left_pad = jnp.where(plan.yc > 0,
-                         ref[np.maximum(plan.yc - 1, 0), 0], VALUE_DC)
+    # Frame-left padding: sample above the CU's first sample (ref_ext[yc, 0]
+    # is the row above, including via the halo); DC at the frame corner.
+    left_pad = jnp.where(jnp.logical_and(jnp.asarray(plan.yc == 0), is_top),
+                         VALUE_DC, ref_ext[plan.yc, 0])
     ref_l = jnp.where((plan.xc > 0)[None, :, None], ref_l,
                       left_pad[:, None, None])
     return ref_t, ref_l

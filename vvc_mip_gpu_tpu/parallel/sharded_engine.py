@@ -1,0 +1,130 @@
+"""Sharded multi-chip MIP cost engine: frames x CTU-row bands.
+
+Shards a batch of frames over the ``data`` mesh axis and each frame's CTU
+rows over the ``space`` axis via ``shard_map``.  The only cross-device
+communication is a one-row halo ``ppermute`` of reference samples down the
+``space`` ring (boundary extraction reads the row above each CTU,
+reference: intra.cl:76) and the implicit all-gather of the cost tensors at
+the output sharding boundary.  Bit-identical to the single-device engine.
+
+Frame heights that are not multiples of ``space * 128`` are padded by edge
+replication; the padded CUs are flagged invalid in the validity mask exactly
+like the single-device engine's out-of-frame CUs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from vvc_mip_gpu_tpu.constants import (
+    CTU_SIZE,
+    GROUPS,
+    STRIDED_DISTORTIONS_PER_CTU,
+    num_ctus,
+)
+from vvc_mip_gpu_tpu.models.cost_engine import FrameCosts, compute_ext
+from vvc_mip_gpu_tpu.ops.geometry import class_plans
+
+
+def _padded_height(height: int, n_space: int) -> int:
+    unit = CTU_SIZE * n_space
+    return -(-height // unit) * unit
+
+
+@functools.cache
+def _validity_mask_np(width: int, true_height: int, padded_height: int):
+    """[nCTU_padded, DIST_TOTAL] bool — CU fully inside the true frame."""
+    out = np.zeros((num_ctus(width, padded_height)[2],
+                    int(STRIDED_DISTORTIONS_PER_CTU[-1])), bool)
+    for cplan in class_plans(width, padded_height):
+        for gp in cplan.groups:
+            g = GROUPS[gp.group_index]
+            valid = ((gp.ys + g.height <= true_height)[:, None]
+                     & (gp.xs + g.width <= width)[None, :])
+            v = gp.to_ctu_layout(valid)
+            v = np.repeat(v, g.total_modes, axis=1)
+            start = int(STRIDED_DISTORTIONS_PER_CTU[g.index])
+            out[:, start:start + v.shape[1]] = v
+    return out
+
+
+def _local_costs(frame, ref, width: int, local_height: int):
+    """Per-shard computation: halo exchange then the dense cost pipeline."""
+    frame = frame.astype(jnp.int32)
+    ref = ref.astype(jnp.int32)
+    # Send each band's last reference row to the band below (ring shift).
+    n_space = jax.lax.axis_size("space")
+    halo = jax.lax.ppermute(
+        ref[:, -1, :], "space",
+        perm=[(i, (i + 1) % n_space) for i in range(n_space)])
+    is_top = jax.lax.axis_index("space") == 0
+
+    def one(fr, re, hl):
+        ref_ext = jnp.concatenate([hl[None, :], re], axis=0)
+        return compute_ext(fr, ref_ext, is_top, width, local_height)
+
+    sad, satd = jax.vmap(one)(frame, ref, halo)
+    return sad, satd
+
+
+class ShardedMipCostEngine:
+    """Multi-device MIP cost search over a batch of frames.
+
+    >>> mesh = make_mesh(n_data, n_space)
+    >>> engine = ShardedMipCostEngine(1920, 1080, mesh)
+    >>> costs = engine(frames)   # frames: [B, H, W], B % n_data == 0
+    """
+
+    def __init__(self, width: int, height: int, mesh: Mesh):
+        self.width = width
+        self.height = height
+        self.mesh = mesh
+        self.n_space = mesh.shape["space"]
+        self.n_data = mesh.shape["data"]
+        self.padded_height = _padded_height(height, self.n_space)
+        self.local_height = self.padded_height // self.n_space
+        self.n_ctus = num_ctus(width, self.padded_height)[2]
+
+        local = functools.partial(
+            _local_costs, width=width, local_height=self.local_height)
+        sharded = shard_map(
+            local, mesh=mesh,
+            in_specs=(P("data", "space", None), P("data", "space", None)),
+            out_specs=(P("data", "space", None), P("data", "space", None)),
+        )
+
+        def fn(frames, refs):
+            sad, satd = sharded(frames, refs)
+            return FrameCosts(
+                sad=sad, satd=satd,
+                min_sad_had=jnp.minimum(2 * sad, satd),
+                valid=jnp.asarray(_validity_mask_np(
+                    width, height, self.padded_height)),
+            )
+
+        self._fn = jax.jit(fn)
+
+    def pad_frames(self, frames):
+        """Pad [B, H, W] frames to the sharding height by edge replication."""
+        pad = self.padded_height - frames.shape[1]
+        if pad == 0:
+            return frames
+        last = jnp.broadcast_to(
+            frames[:, -1:, :],
+            (frames.shape[0], pad, frames.shape[2]))
+        return jnp.concatenate([frames, last], axis=1)
+
+    def __call__(self, frames, ref_frames=None) -> FrameCosts:
+        """frames: [B, H, W] (B divisible by the data-axis size)."""
+        if ref_frames is None:
+            ref_frames = frames
+        frames = self.pad_frames(jnp.asarray(frames))
+        ref_frames = self.pad_frames(jnp.asarray(ref_frames))
+        return self._fn(frames, ref_frames)
