@@ -1,0 +1,79 @@
+"""Frame ingest round-trip, decisions-CSV schema, and the CLI end-to-end."""
+
+import numpy as np
+import pandas as pd
+
+from vvc_mip_gpu_tpu.constants import GROUPS
+from vvc_mip_gpu_tpu.io import export, frames as fio
+
+
+def test_frames_csv_roundtrip(tmp_path):
+    fr = fio.synthetic_frames(2, 64, 48)
+    p = tmp_path / "frames.csv"
+    fio.write_frames_csv(p, fr)
+    back = fio.read_frames_csv(p, 64, 48, 2)
+    np.testing.assert_array_equal(back, fr)
+
+
+def test_decisions_csv_schema(tmp_path):
+    n_ctu = 2
+    rng = np.random.default_rng(0)
+    msh = rng.integers(0, 10000, size=(n_ctu, export.DIST_PER_CTU))
+    p = tmp_path / "dec.csv"
+    export.export_decisions_csv(p, msh, frame_width=256)
+    df = pd.read_csv(p)
+    assert list(df.columns) == ["CTU", "cuSizeName", "W", "H", "CU", "X", "Y",
+                                "Mode", "SAD", "SATD", "minSadHad"]
+    assert len(df) == n_ctu * export.DIST_PER_CTU
+    # First row: CTU 0, first group, CU 0, mode 0
+    r0 = df.iloc[0]
+    assert (r0.CTU, r0.cuSizeName, r0.W, r0.H, r0.CU, r0.X, r0.Y, r0.Mode) \
+        == (0, "ALL_AL_64x64", 64, 64, 0, 0, 0, 0)
+    np.testing.assert_array_equal(df.minSadHad.to_numpy(), msh.ravel())
+    # Row ordering within a group: modes fastest, then CU raster
+    g = GROUPS[0]
+    rows = df.iloc[:g.cus_per_ctu * g.total_modes]
+    assert rows.Mode.tolist() == list(range(g.total_modes)) * g.cus_per_ctu
+    # Second CTU of a 256-wide frame sits at X=128
+    r = df.iloc[export.DIST_PER_CTU]
+    assert (r.CTU, r.X, r.Y) == (1, 128, 0)
+
+
+def test_decide_best_modes():
+    rng = np.random.default_rng(1)
+    msh = rng.integers(0, 10000, size=(1, export.DIST_PER_CTU))
+    best = export.decide_best_modes(msh)
+    g = GROUPS[46]
+    block = msh[0, -g.cus_per_ctu * g.total_modes:].reshape(
+        g.cus_per_ctu, g.total_modes)
+    np.testing.assert_array_equal(best[46][0][0], block.argmin(-1))
+
+
+def test_cli_end_to_end(tmp_path):
+    from vvc_mip_gpu_tpu import cli
+
+    rc = cli.main([
+        "-f", "1", "-s", "128x128", "--Synthetic",
+        "-l", str(tmp_path / "t_"),
+    ])
+    assert rc == 0
+    df = pd.read_csv(tmp_path / "t_mip_decisions.csv")
+    assert len(df) == export.DIST_PER_CTU
+
+
+def test_cli_only_filter(tmp_path):
+    from vvc_mip_gpu_tpu import cli
+
+    rc = cli.main([
+        "-f", "1", "-s", "64x64", "--Synthetic",
+        "--FilterType", "filterFrame_2d_int_quarterCtu", "--KernelIdx", "2",
+        "--OnlyFilter", "-l", str(tmp_path / "f_"),
+    ])
+    assert rc == 0
+    filtered = fio.read_frames_csv(tmp_path / "f_filtered.csv", 64, 64, 1)
+    from vvc_mip_gpu_tpu.golden import filters_golden as fg
+
+    exp = fg.filter_frame(
+        fio.synthetic_frames(1, 64, 64)[0].astype(np.int64),
+        "filterFrame_2d_int_quarterCtu", 2)
+    np.testing.assert_array_equal(filtered[0].astype(np.int64), exp)

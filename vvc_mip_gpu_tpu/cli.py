@@ -1,0 +1,173 @@
+"""Command-line interface — the analog of the reference `main` binary.
+
+Flag names follow the reference CLI (reference: main.cpp:50-69, README.md:
+28-50) with TPU-specific additions (mesh shape, batch size):
+
+    python -m vvc_mip_gpu_tpu.cli -f 2 -s 1920x1080 -o frames.csv -l out_
+        [--FilterType filterFrame_2d_int_quarterCtu --KernelIdx 2]
+        [--OnlyFilter] [--TracePower] [--MeshData 1 --MeshSpace 1]
+        [--Synthetic]
+
+Pipeline per frame (reference: main.cpp:678-1241): optional low-pass filter
+-> MIP cost search (boundaries + reduced prediction + upsample + distortion
+fused in one jitted graph) -> decisions CSV export.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from vvc_mip_gpu_tpu.utils.config import EngineConfig
+from vvc_mip_gpu_tpu.utils.timing import StageTimer, print_timestamp
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vvc-mip-tpu",
+        description="TPU-native VVC MIP mode-search cost engine")
+    p.add_argument("--FramesToBeEncoded", "-f", type=int, default=1,
+                   help="Number of frames to be processed")
+    p.add_argument("--Resolution", "-s", type=str, required=True,
+                   help="Video resolution, e.g. 1920x1080")
+    p.add_argument("--OriginalFrames", "-o", type=str, default=None,
+                   help="Input CSV of original frame samples")
+    p.add_argument("--OutputPreffix", "-l", type=str, default="",
+                   help="Output file prefix for the decisions log")
+    p.add_argument("--FilterType", type=str, default=None,
+                   help="Smoothing filter for alternative reference samples")
+    p.add_argument("--KernelIdx", type=int, default=0,
+                   help="Filter coefficient set index")
+    p.add_argument("--OnlyFilter", action="store_true",
+                   help="Filter the frames, export them, and exit "
+                        "(reference ONLY_FILTER_AND_EXIT)")
+    p.add_argument("--FullDistortion", action="store_true",
+                   help="Export SAD/SATD columns too (disables the "
+                        "reference's MAX_PERFORMANCE_DIST fast path)")
+    p.add_argument("--TracePower", action="store_true",
+                   help="Print stage timestamps for the energy harness")
+    p.add_argument("--Synthetic", action="store_true",
+                   help="Use deterministic synthetic frames (no input file)")
+    p.add_argument("--MeshData", type=int, default=1,
+                   help="Data-parallel (frame) mesh axis size")
+    p.add_argument("--MeshSpace", type=int, default=1,
+                   help="Spatial (CTU-row) mesh axis size")
+    # Kept for command-line compatibility with the reference; device
+    # selection is JAX's job on TPU.
+    p.add_argument("--DeviceIndex", type=int, default=0,
+                   help="(compatibility flag; unused on TPU)")
+    return p
+
+
+def _config_from_args(args) -> EngineConfig:
+    w, h = EngineConfig.parse_resolution(args.Resolution)
+    cfg = EngineConfig(
+        width=w, height=h,
+        n_frames=args.FramesToBeEncoded,
+        input_path=args.OriginalFrames,
+        output_prefix=args.OutputPreffix,
+        filter_type=args.FilterType,
+        kernel_idx=args.KernelIdx,
+        only_filter=args.OnlyFilter,
+        max_performance=not args.FullDistortion,
+        trace_power=args.TracePower,
+        mesh_data=args.MeshData,
+        mesh_space=args.MeshSpace,
+    )
+    cfg.validate()
+    return cfg
+
+
+def run(cfg: EngineConfig, synthetic: bool = False) -> int:
+    from vvc_mip_gpu_tpu.io import export, frames as fio
+
+    timer = StageTimer(trace_power=cfg.trace_power)
+    if cfg.trace_power:
+        print_timestamp("STARTED HOST")
+
+    with timer.stage("READ SAMPLES"):
+        if synthetic or cfg.input_path is None:
+            frames = fio.synthetic_frames(cfg.n_frames, cfg.width, cfg.height)
+        else:
+            frames = fio.read_frames_csv(
+                cfg.input_path, cfg.width, cfg.height, cfg.n_frames)
+
+    ref_frames = None
+    if cfg.filter_type is not None:
+        from vvc_mip_gpu_tpu.ops.filters import filter_frame
+
+        with timer.stage("ENQUEUE FILTER"):
+            ref_frames = np.stack([
+                np.asarray(filter_frame(f, cfg.filter_type, cfg.kernel_idx))
+                for f in frames])
+        if cfg.only_filter:
+            out = f"{cfg.output_prefix}filtered.csv"
+            fio.write_frames_csv(out, ref_frames)
+            print(f"wrote {out}")
+            print(timer.report_compact(cfg.n_frames))
+            return 0
+
+    if cfg.mesh_data * cfg.mesh_space > 1:
+        import jax
+
+        from vvc_mip_gpu_tpu.parallel import ShardedMipCostEngine, make_mesh
+
+        mesh = make_mesh(cfg.mesh_data, cfg.mesh_space)
+        engine = ShardedMipCostEngine(cfg.width, cfg.height, mesh)
+        with timer.stage("ENQUEUE KERNELS"):
+            costs = engine(frames.astype(np.int32),
+                           None if ref_frames is None
+                           else ref_frames.astype(np.int32))
+            jax.block_until_ready(costs.min_sad_had)
+        with timer.stage("READ DISTORTION"):
+            msh = np.asarray(costs.min_sad_had)[:, :engine.n_ctus]
+            sad = satd = None
+            if not cfg.max_performance:
+                sad = np.asarray(costs.sad)
+                satd = np.asarray(costs.satd)
+        for f in range(cfg.n_frames):
+            _export_frame(cfg, export, msh[f],
+                          None if sad is None else sad[f],
+                          None if satd is None else satd[f], poc=f)
+    else:
+        from vvc_mip_gpu_tpu.models.cost_engine import MipCostEngine
+
+        engine = MipCostEngine(cfg.width, cfg.height)
+        for f in range(cfg.n_frames):
+            with timer.stage("ENQUEUE KERNELS"):
+                costs = engine(
+                    frames[f].astype(np.int32),
+                    None if ref_frames is None
+                    else ref_frames[f].astype(np.int32))
+            with timer.stage("READ DISTORTION"):
+                msh = np.asarray(costs.min_sad_had)
+                sad = (None if cfg.max_performance
+                       else np.asarray(costs.sad))
+                satd = (None if cfg.max_performance
+                        else np.asarray(costs.satd))
+            _export_frame(cfg, export, msh, sad, satd, poc=f)
+
+    print(timer.report())
+    print(timer.report_compact(cfg.n_frames))
+    return 0
+
+
+def _export_frame(cfg, export, msh, sad, satd, poc):
+    suffix = f"_poc{poc}" if cfg.n_frames > 1 else ""
+    out = f"{cfg.output_prefix}mip_decisions{suffix}.csv"
+    export.export_decisions_csv(
+        out, msh, cfg.width, sad=sad, satd=satd,
+        poc=poc if cfg.n_frames > 1 else None)
+    print(f"wrote {out}")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = _config_from_args(args)
+    return run(cfg, synthetic=args.Synthetic)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,111 @@
+"""Decisions-log CSV export in the reference engine's exact schema.
+
+Schema (reference: main_aux_functions.h:735-798):
+    CTU,cuSizeName,W,H,CU,X,Y,Mode,SAD,SATD,minSadHad
+rows ordered CTU-major, then size group (SizeId2 groups, SizeId1, SizeId0),
+then CU raster index, then mode (non-transposed first).  cuSizeName is
+"ALL_" + the group name (main_aux_functions.h:296-399).
+
+At 1080p this is ~13.2M rows per frame; the row-invariant columns are
+prebuilt once as numpy arrays and the file is written with pandas' C writer
+(or the native C extension when built).  With ``max_performance`` (the
+reference's MAX_PERFORMANCE_DIST=1 default) SAD/SATD columns are emitted as
+zeros, mirroring the reference's never-read-back buffers
+(main_aux_functions.h:591-619).
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+
+import numpy as np
+
+from vvc_mip_gpu_tpu.constants import (
+    CTU_SIZE,
+    GROUPS,
+    STRIDED_DISTORTIONS_PER_CTU,
+    num_ctus,
+)
+
+DIST_PER_CTU = int(STRIDED_DISTORTIONS_PER_CTU[-1])
+
+
+@functools.cache
+def _per_ctu_columns():
+    """Row-invariant per-CTU-slab columns, each [DIST_PER_CTU]."""
+    names = np.empty(DIST_PER_CTU, object)
+    w = np.empty(DIST_PER_CTU, np.int32)
+    h = np.empty(DIST_PER_CTU, np.int32)
+    cu = np.empty(DIST_PER_CTU, np.int32)
+    x_in_ctu = np.empty(DIST_PER_CTU, np.int32)
+    y_in_ctu = np.empty(DIST_PER_CTU, np.int32)
+    mode = np.empty(DIST_PER_CTU, np.int32)
+    for g in GROUPS:
+        start = int(STRIDED_DISTORTIONS_PER_CTU[g.index])
+        n, m = g.cus_per_ctu, g.total_modes
+        sl = slice(start, start + n * m)
+        names[sl] = "ALL_" + g.name
+        w[sl] = g.width
+        h[sl] = g.height
+        cu[sl] = np.repeat(np.arange(n), m)
+        pos = g.positions()
+        x_in_ctu[sl] = np.repeat(pos[:, 0], m)
+        y_in_ctu[sl] = np.repeat(pos[:, 1], m)
+        mode[sl] = np.tile(np.arange(m), n)
+    return names, w, h, cu, x_in_ctu, y_in_ctu, mode
+
+
+def export_decisions_csv(path: str | Path, min_sad_had: np.ndarray,
+                         frame_width: int, sad: np.ndarray | None = None,
+                         satd: np.ndarray | None = None,
+                         poc: int | None = None) -> None:
+    """Write the decisions log for one frame.
+
+    min_sad_had / sad / satd: [nCTU, DIST_PER_CTU] in the strided layout
+    (FrameCosts fields).  ``poc`` adds the multi-frame POC column variant
+    (reference: main_aux_functions.h:843-906).
+    """
+    import pandas as pd
+
+    min_sad_had = np.asarray(min_sad_had)
+    n_ctu = min_sad_had.shape[0]
+    ctu_cols = -(-frame_width // CTU_SIZE)
+    names, w, h, cu, x_in, y_in, mode = _per_ctu_columns()
+
+    ctu = np.repeat(np.arange(n_ctu, dtype=np.int32), DIST_PER_CTU)
+    ctu_x = (np.arange(n_ctu, dtype=np.int32) % ctu_cols) * CTU_SIZE
+    ctu_y = (np.arange(n_ctu, dtype=np.int32) // ctu_cols) * CTU_SIZE
+    cols = {
+        "CTU": ctu,
+        "cuSizeName": np.tile(names, n_ctu),
+        "W": np.tile(w, n_ctu),
+        "H": np.tile(h, n_ctu),
+        "CU": np.tile(cu, n_ctu),
+        "X": (ctu_x[:, None] + x_in[None, :]).ravel(),
+        "Y": (ctu_y[:, None] + y_in[None, :]).ravel(),
+        "Mode": np.tile(mode, n_ctu),
+        "SAD": (np.zeros(n_ctu * DIST_PER_CTU, np.int64) if sad is None
+                else np.asarray(sad, np.int64).ravel()),
+        "SATD": (np.zeros(n_ctu * DIST_PER_CTU, np.int64) if satd is None
+                 else np.asarray(satd, np.int64).ravel()),
+        "minSadHad": np.asarray(min_sad_had, np.int64).ravel(),
+    }
+    if poc is not None:
+        cols = {"POC": np.full(n_ctu * DIST_PER_CTU, poc, np.int32), **cols}
+    pd.DataFrame(cols).to_csv(path, index=False)
+
+
+def decide_best_modes(min_sad_had: np.ndarray):
+    """Per-CU argmin over modes — the decision the reference leaves to the
+    log consumer (SURVEY.md §0).  Returns {group_index: (best_mode, best
+    cost)} arrays of shape [nCTU, cusPerCtu]."""
+    out = {}
+    n_ctu = min_sad_had.shape[0]
+    for g in GROUPS:
+        start = int(STRIDED_DISTORTIONS_PER_CTU[g.index])
+        n, m = g.cus_per_ctu, g.total_modes
+        block = np.asarray(
+            min_sad_had[:, start:start + n * m]).reshape(n_ctu, n, m)
+        out[g.index] = (block.argmin(-1), block.min(-1))
+    return out
