@@ -32,7 +32,7 @@ from vvc_mip_gpu_tpu.constants import (
     STRIDED_DISTORTIONS_PER_CTU,
     num_ctus,
 )
-from vvc_mip_gpu_tpu.ops import mip_ops
+from vvc_mip_gpu_tpu.ops import mip_ops_soa as soa
 from vvc_mip_gpu_tpu.ops.geometry import ClassPlan, class_plans
 
 
@@ -53,25 +53,31 @@ class FrameCosts:
 
 
 def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan):
-    """Costs of one shape class: ([nCTU, nCU_class, 2M] sad, satd)."""
+    """Costs of one shape class in SoA lattice order: ([2M, nCU] sad, satd).
+
+    The CU axis concatenates every group's lattice-ordered CUs; callers
+    split it back per group with cplan.shape.cu_offsets scaled by nCTU...
+    (see _compute: groups are split by lattice sizes, then reordered).
+    """
     shape = cplan.shape
     w, h = shape.width, shape.height
     ref_t_parts, ref_l_parts, orig_parts = [], [], []
     for gp in cplan.groups:
-        rt, rl = mip_ops.gather_boundaries_halo(ref_ext, gp, is_top)
-        ref_t_parts.append(gp.to_ctu_layout_jnp(rt))
-        ref_l_parts.append(gp.to_ctu_layout_jnp(rl))
-        orig_parts.append(gp.to_ctu_layout_jnp(mip_ops.gather_originals(frame, gp)))
-    ref_t = jnp.concatenate(ref_t_parts, axis=1)  # [nCTU, nCU, w]
-    ref_l = jnp.concatenate(ref_l_parts, axis=1)  # [nCTU, nCU, h]
-    orig = jnp.concatenate(orig_parts, axis=1)  # [nCTU, nCU, h, w]
+        rt, rl = soa.gather_boundaries(ref_ext, gp, is_top)
+        ref_t_parts.append(rt)
+        ref_l_parts.append(rl)
+        orig_parts.append(soa.gather_originals(frame, gp))
+    ref_t = jnp.concatenate(ref_t_parts, axis=-1)  # [w, nCU]
+    ref_l = jnp.concatenate(ref_l_parts, axis=-1)  # [h, nCU]
+    orig = jnp.concatenate(orig_parts, axis=-1)  # [h*w, nCU] block order
 
-    red_t = mip_ops.reduce_boundary(ref_t, shape.boundary_size)
-    red_l = mip_ops.reduce_boundary(ref_l, shape.boundary_size)
-    pred = mip_ops.reduced_prediction_all_modes(red_t, red_l, shape.size_id)
+    red_t = soa.reduce_boundary(ref_t, shape.boundary_size)
+    red_l = soa.reduce_boundary(ref_l, shape.boundary_size)
+    pred = soa.reduced_prediction_all_modes(red_t, red_l, shape.size_id)
     if shape.size_id > 0:
-        pred = mip_ops.upsample_all(pred, ref_t, ref_l, w, h)
-    sad, satd = mip_ops.distortion(orig[..., None, :, :], pred)
+        pred = soa.upsample_all(pred, ref_t, ref_l, w, h,
+                                shape.reduced_pred_size)
+    sad, satd = soa.distortion(orig, pred, h, w)
     return sad, satd
 
 
@@ -93,15 +99,16 @@ def compute_ext(frame, ref_ext, is_top, width: int, height: int):
     satd_blocks: dict[int, jax.Array] = {}
     for cplan in class_plans(width, height):
         sad, satd = _class_costs(frame, ref_ext, is_top, cplan)
-        n_ctu = sad.shape[0]
-        # Split the class CU axis back into per-group blocks (static sizes).
-        for gp, off in zip(cplan.groups,
-                           cplan.shape.cu_offsets):
-            n = GROUPS[gp.group_index].cus_per_ctu
-            sad_blocks[gp.group_index] = (
-                sad[:, off:off + n].reshape(n_ctu, -1))
-            satd_blocks[gp.group_index] = (
-                satd[:, off:off + n].reshape(n_ctu, -1))
+        # Split the class CU axis back per group (static lattice sizes) and
+        # reorder each from lattice order to the reference CTU layout.
+        off = 0
+        for gp in cplan.groups:
+            n = gp.n_rows * gp.n_cols
+            sad_blocks[gp.group_index] = gp.lattice_costs_to_ctu(
+                sad[:, off:off + n])
+            satd_blocks[gp.group_index] = gp.lattice_costs_to_ctu(
+                satd[:, off:off + n])
+            off += n
     return _flatten_strided(sad_blocks), _flatten_strided(satd_blocks)
 
 

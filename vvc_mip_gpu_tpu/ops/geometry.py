@@ -76,6 +76,18 @@ class GroupPlan:
         return a.reshape(self.ctu_rows * self.ctu_cols,
                          self.cu_rows * self.cu_cols, *tail)
 
+    def lattice_costs_to_ctu(self, costs):
+        """Reorder SoA cost block [2M, n_rows*n_cols] (lattice order) into
+        the reference layout [nCTU, cusPerCtu*2M] (cu-major, mode-minor)."""
+        import jax.numpy as jnp
+
+        two_m = costs.shape[0]
+        a = costs.reshape(two_m, self.ctu_rows, self.cu_rows,
+                          self.ctu_cols, self.cu_cols)
+        a = jnp.transpose(a, (1, 3, 2, 4, 0))
+        return a.reshape(self.ctu_rows * self.ctu_cols,
+                         self.cu_rows * self.cu_cols * two_m)
+
     # The same permutation for jnp arrays (used inside jit).
     def to_ctu_layout_jnp(self, arr):
         import jax.numpy as jnp

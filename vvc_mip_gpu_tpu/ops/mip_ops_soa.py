@@ -1,0 +1,191 @@
+"""SoA (structure-of-arrays) MIP pipeline: the TPU-optimized compute path.
+
+Same exact integer semantics as ops/mip_ops.py (validated against the golden
+model by the same tests), but every tensor keeps the *CU axis last*.  On TPU
+the last dimension maps to the 128-wide vector lanes and the second-to-last
+to sublanes; the AoS layout's trailing sample dims (4/8/16 wide) forced up
+to 8x tile-padding waste in both HBM and compute.  Here the lane axis is the
+tens-of-thousands-wide batch of CUs, samples/modes live on sublanes, and all
+interpolation/transform index arithmetic is static.
+
+CU ordering inside these ops is *lattice order* (CTU-row-major x CU-row x
+CTU-col x CU-col, per group, groups of a class concatenated); the engine
+reorders final per-group cost blocks to the reference's [nCTU, cuIdx] layout
+at the end (cheap: costs are 3 orders of magnitude smaller than samples).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from vvc_mip_gpu_tpu import mip_weights
+from vvc_mip_gpu_tpu.constants import (
+    MIP_OFFSET_MATRIX,
+    MIP_SHIFT_MATRIX,
+    PRED_MODES,
+    REDUCED_PRED_SIZE,
+    SAMPLE_MAX,
+    VALUE_DC,
+)
+from vvc_mip_gpu_tpu.ops.geometry import GroupPlan
+
+_H4 = np.array(
+    [[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]], np.int32)
+_H16 = np.kron(_H4, _H4)  # flattened two-sided 4x4 Hadamard; index 0 = DC
+
+
+def gather_boundaries(ref_ext, plan: GroupPlan, is_top):
+    """Top/left boundaries in SoA layout: ([w, nCU], [h, nCU]).
+
+    ``ref_ext``: [H_local+1, W] with the row above the slab at index 0
+    (see mip_ops.gather_boundaries_halo).  VVC edge-padding rules applied
+    via static lattice masks (reference: intra.cl:96-107, 232-243).
+    """
+    w, h = plan.width, plan.height
+    n_rows, n_cols = plan.n_rows, plan.n_cols
+
+    # ---- top: rows above CUs, sliced per CU column window
+    top_rows = jnp.take(ref_ext, plan.yc, axis=0)  # [n_rows, W]
+    col_idx = (plan.xc[:, None] + np.arange(w)[None, :]).ravel()
+    ref_t = jnp.take(top_rows, col_idx, axis=1)  # [n_rows, n_cols*w]
+    ref_t = ref_t.reshape(n_rows, n_cols, w)
+    ref_t = jnp.moveaxis(ref_t, 2, 0).reshape(w, n_rows * n_cols)
+    # frame-top fixup: all samples <- ref row0 sample left of the CU
+    pad_cols = jnp.where(jnp.asarray(plan.xc > 0),
+                         ref_ext[1, np.maximum(plan.xc - 1, 0)], VALUE_DC)
+    pad_t = jnp.tile(pad_cols, n_rows)  # [nCU], varies by column only
+    fix_t = jnp.logical_and(
+        jnp.asarray(np.repeat(plan.yc == 0, n_cols)), is_top)
+    ref_t = jnp.where(fix_t[None, :], pad_t[None, :], ref_t)
+
+    # ---- left: columns left of CUs, sliced per CU row window
+    left_cols = jnp.take(ref_ext, np.maximum(plan.xc - 1, 0), axis=1)
+    row_idx = (plan.yc[:, None] + 1 + np.arange(h)[None, :]).ravel()
+    ref_l = jnp.take(left_cols, row_idx, axis=0)  # [n_rows*h, n_cols]
+    ref_l = ref_l.reshape(n_rows, h, n_cols)
+    ref_l = jnp.moveaxis(ref_l, 1, 0).reshape(h, n_rows * n_cols)
+    # frame-left fixup: all samples <- sample above the CU (via halo), DC
+    # at the frame corner
+    pad_rows = jnp.where(
+        jnp.logical_and(jnp.asarray(plan.yc == 0), is_top),
+        VALUE_DC, ref_ext[plan.yc, 0])
+    pad_l = jnp.repeat(pad_rows, n_cols)  # [nCU], varies by row only
+    fix_l = jnp.asarray(np.tile(plan.xc == 0, n_rows))
+    ref_l = jnp.where(fix_l[None, :], pad_l[None, :], ref_l)
+    return ref_t, ref_l
+
+
+def gather_originals(frame, plan: GroupPlan):
+    """Original CU samples in SoA layout: [h*w, nCU], sample axis raster."""
+    w, h = plan.width, plan.height
+    row_idx = (plan.yc[:, None] + np.arange(h)[None, :]).ravel()
+    col_idx = (plan.xc[:, None] + np.arange(w)[None, :]).ravel()
+    tile = jnp.take(jnp.take(frame, row_idx, axis=0), col_idx, axis=1)
+    tile = tile.reshape(plan.n_rows, h, plan.n_cols, w)
+    tile = jnp.moveaxis(tile, (1, 3), (0, 1))  # [h, w, n_rows, n_cols]
+    return tile.reshape(h * w, plan.n_rows * plan.n_cols)
+
+
+def block_permutation(h: int, w: int) -> np.ndarray:
+    """Sample-axis permutation raster -> 4x4-block order."""
+    idx = np.arange(h * w).reshape(h // 4, 4, w // 4, 4)
+    return idx.transpose(0, 2, 1, 3).ravel()
+
+
+def reduce_boundary(samples, bnd_size: int):
+    """Downsample-average along the sample (leading) axis."""
+    n = samples.shape[0]
+    ds = n // bnd_size
+    if ds == 1:
+        return samples
+    log2 = ds.bit_length() - 1
+    off = 1 << (log2 - 1)
+    grouped = samples.reshape(bnd_size, ds, -1)
+    return (grouped.sum(1, dtype=jnp.int32) + off) >> log2
+
+
+def reduced_prediction_all_modes(red_t, red_l, size_id: int):
+    """All-mode reduced prediction [2M, S, nCU] int32 (S = R*R raster)."""
+    r = REDUCED_PRED_SIZE[size_id]
+    m = PRED_MODES[size_id]
+    mat = jnp.asarray(mip_weights.padded_matrix(size_id), jnp.int32)
+    bnd = jnp.stack([jnp.concatenate([red_t, red_l], 0),
+                     jnp.concatenate([red_l, red_t], 0)])  # [2, C, nCU]
+    bnd = bnd.astype(jnp.int32)
+    first = bnd[:, :1]  # [2, 1, nCU]
+    off = bnd - first
+    if size_id == 2:
+        off = off.at[:, 0].set(0)
+    else:
+        off = off.at[:, 0].set((1 << 9) - first[:, 0])
+    offset_term = ((1 << (MIP_SHIFT_MATRIX - 1))
+                   - MIP_OFFSET_MATRIX * off.sum(1))  # [2, nCU]
+    acc = jnp.einsum("msc,tcn->tmsn", mat, off,
+                     preferred_element_type=jnp.int32)
+    pred = (((acc + offset_term[:, None, None]) >> MIP_SHIFT_MATRIX)
+            + first[:, None])
+    pred = jnp.clip(pred, 0, SAMPLE_MAX)  # [2, M, S, nCU]
+    # transposed modes: permute the sample axis by grid transposition
+    tperm = np.arange(r * r).reshape(r, r).T.ravel()
+    pred = jnp.concatenate([pred[0], jnp.take(pred[1], tperm, axis=1)])
+    return pred  # [2M, S, nCU]
+
+
+def _interp(before, after, up: int, pos):
+    if up == 1:
+        return after
+    log2 = up.bit_length() - 1
+    rnd = 1 << (log2 - 1)
+    return ((up - pos) * before + pos * after + rnd) >> log2
+
+
+def upsample_all(pred, ref_t, ref_l, w: int, h: int, r: int):
+    """Upsample [2M, R*R, nCU] -> [2M, h, w, nCU] (exact reference rounding)."""
+    two_m, _, n = pred.shape
+    up_h = w // r
+    up_v = h // r
+    pred = pred.reshape(two_m, r, r, n)
+    # horizontal: anchors rows against the left boundary
+    lead = jnp.broadcast_to(ref_l[up_v - 1::up_v][None, :, None, :],
+                            (two_m, r, 1, n)).astype(pred.dtype)
+    ext = jnp.concatenate([lead, pred], axis=2)  # [2M, R, R+1, nCU]
+    x = np.arange(w)
+    j = x // up_h
+    o = jnp.asarray((x % up_h + 1)[None, None, :, None], jnp.int32)
+    anchors = _interp(jnp.take(ext, j, axis=2),
+                      jnp.take(ext, j + 1, axis=2), up_h, o)
+    # vertical: all rows against the top boundary
+    top = jnp.broadcast_to(ref_t[None, None, :, :],
+                           (two_m, 1, w, n)).astype(pred.dtype)
+    ext2 = jnp.concatenate([top, anchors], axis=1)  # [2M, R+1, w, nCU]
+    y = np.arange(h)
+    k = y // up_v
+    ov = jnp.asarray((y % up_v + 1)[None, :, None, None], jnp.int32)
+    return _interp(jnp.take(ext2, k, axis=1),
+                   jnp.take(ext2, k + 1, axis=1), up_v, ov)
+
+
+def distortion(orig, pred, h: int, w: int):
+    """(SAD, SATD): [2M, nCU] each.
+
+    ``orig``: [h*w, nCU], sample axis raster.  ``pred``: upsampled
+    [2M, h, w, nCU] raster, or reduced [2M, 16, nCU] for SizeId 0 (4x4:
+    raster == 4x4-block order).
+    """
+    if pred.ndim == 4:
+        pred = pred.reshape(pred.shape[0], h * w, pred.shape[3])
+    diff = (orig[None] - pred).astype(jnp.int32)  # [2M, h*w, nCU]
+    sad = jnp.abs(diff).sum(1, dtype=jnp.int32)
+    nb = (h * w) // 16
+    # SATD consumes 4x4 blocks: permute the sample axis raster->block order.
+    if (h, w) != (4, 4):
+        diff = jnp.take(diff, block_permutation(h, w), axis=1)
+    blocks = diff.reshape(diff.shape[0], nb, 16, diff.shape[2])
+    t = jnp.einsum("kj,mbjn->mbkn", jnp.asarray(_H16), blocks,
+                   preferred_element_type=jnp.int32)
+    dc = jnp.abs(t[:, :, 0])
+    block_satd = jnp.abs(t).sum(2, dtype=jnp.int32) - dc + (dc >> 2)
+    block_satd = (block_satd + 1) >> 1
+    return sad, block_satd.sum(1, dtype=jnp.int32)
