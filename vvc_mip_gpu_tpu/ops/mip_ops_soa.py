@@ -88,12 +88,6 @@ def gather_originals(frame, plan: GroupPlan):
     return tile.reshape(h * w, plan.n_rows * plan.n_cols)
 
 
-def block_permutation(h: int, w: int) -> np.ndarray:
-    """Sample-axis permutation raster -> 4x4-block order."""
-    idx = np.arange(h * w).reshape(h // 4, 4, w // 4, 4)
-    return idx.transpose(0, 2, 1, 3).ravel()
-
-
 def reduce_boundary(samples, bnd_size: int):
     """Downsample-average along the sample (leading) axis."""
     n = samples.shape[0]
@@ -126,45 +120,59 @@ def reduced_prediction_all_modes(red_t, red_l, size_id: int):
                      preferred_element_type=jnp.int32)
     pred = (((acc + offset_term[:, None, None]) >> MIP_SHIFT_MATRIX)
             + first[:, None])
-    pred = jnp.clip(pred, 0, SAMPLE_MAX)  # [2, M, S, nCU]
+    pred = jnp.clip(pred, 0, SAMPLE_MAX).astype(jnp.int16)  # [2, M, S, nCU]
     # transposed modes: permute the sample axis by grid transposition
-    tperm = np.arange(r * r).reshape(r, r).T.ravel()
-    pred = jnp.concatenate([pred[0], jnp.take(pred[1], tperm, axis=1)])
-    return pred  # [2M, S, nCU]
+    # (expressed as reshape/transpose so it lowers to a copy, not a gather)
+    pred_t = pred[1].reshape(m, r, r, -1)
+    pred_t = jnp.swapaxes(pred_t, 1, 2).reshape(m, r * r, -1)
+    return jnp.concatenate([pred[0], pred_t])  # [2M, S, nCU] int16
 
 
 def _interp(before, after, up: int, pos):
+    """Linear interpolation tap, exact reference rounding, int16-safe:
+    |(up-pos)*before + pos*after + rnd| <= 8*1023 + 8*1023 + 4 < 2^15."""
     if up == 1:
         return after
     log2 = up.bit_length() - 1
-    rnd = 1 << (log2 - 1)
-    return ((up - pos) * before + pos * after + rnd) >> log2
+    rnd = jnp.int16(1 << (log2 - 1))
+    up16 = jnp.int16(up)
+    return ((up16 - pos) * before + pos * after + rnd) >> log2
 
 
 def upsample_all(pred, ref_t, ref_l, w: int, h: int, r: int):
-    """Upsample [2M, R*R, nCU] -> [2M, h, w, nCU] (exact reference rounding)."""
+    """Upsample [2M, R*R, nCU] int16 -> [2M, h, w, nCU] int16.
+
+    Exact reference rounding (intra.cl:815-895).  The before/after operand
+    selections are repeats of static slices (each reduced sample serves
+    up_h/up_v consecutive outputs), which lower to broadcasts — no gathers.
+    """
     two_m, _, n = pred.shape
     up_h = w // r
     up_v = h // r
     pred = pred.reshape(two_m, r, r, n)
-    # horizontal: anchors rows against the left boundary
-    lead = jnp.broadcast_to(ref_l[up_v - 1::up_v][None, :, None, :],
-                            (two_m, r, 1, n)).astype(pred.dtype)
-    ext = jnp.concatenate([lead, pred], axis=2)  # [2M, R, R+1, nCU]
-    x = np.arange(w)
-    j = x // up_h
-    o = jnp.asarray((x % up_h + 1)[None, None, :, None], jnp.int32)
-    anchors = _interp(jnp.take(ext, j, axis=2),
-                      jnp.take(ext, j + 1, axis=2), up_h, o)
+    # horizontal: anchor rows against the left boundary
+    if up_h == 1:
+        anchors = pred
+    else:
+        lead = jnp.broadcast_to(ref_l[up_v - 1::up_v][None, :, None, :],
+                                (two_m, r, 1, n)).astype(pred.dtype)
+        ext = jnp.concatenate([lead, pred], axis=2)  # [2M, R, R+1, nCU]
+        before = jnp.repeat(ext[:, :, :-1], up_h, axis=2)
+        after = jnp.repeat(ext[:, :, 1:], up_h, axis=2)
+        o = jnp.asarray((np.arange(w) % up_h + 1)[None, None, :, None],
+                        jnp.int16)
+        anchors = _interp(before, after, up_h, o)
     # vertical: all rows against the top boundary
+    if up_v == 1:
+        return anchors
     top = jnp.broadcast_to(ref_t[None, None, :, :],
                            (two_m, 1, w, n)).astype(pred.dtype)
     ext2 = jnp.concatenate([top, anchors], axis=1)  # [2M, R+1, w, nCU]
-    y = np.arange(h)
-    k = y // up_v
-    ov = jnp.asarray((y % up_v + 1)[None, :, None, None], jnp.int32)
-    return _interp(jnp.take(ext2, k, axis=1),
-                   jnp.take(ext2, k + 1, axis=1), up_v, ov)
+    before = jnp.repeat(ext2[:, :-1], up_v, axis=1)
+    after = jnp.repeat(ext2[:, 1:], up_v, axis=1)
+    ov = jnp.asarray((np.arange(h) % up_v + 1)[None, :, None, None],
+                     jnp.int16)
+    return _interp(before, after, up_v, ov)
 
 
 def distortion(orig, pred, h: int, w: int):
@@ -174,18 +182,23 @@ def distortion(orig, pred, h: int, w: int):
     [2M, h, w, nCU] raster, or reduced [2M, 16, nCU] for SizeId 0 (4x4:
     raster == 4x4-block order).
     """
-    if pred.ndim == 4:
-        pred = pred.reshape(pred.shape[0], h * w, pred.shape[3])
-    diff = (orig[None] - pred).astype(jnp.int32)  # [2M, h*w, nCU]
-    sad = jnp.abs(diff).sum(1, dtype=jnp.int32)
+    two_m = pred.shape[0]
+    n = pred.shape[-1]
+    if pred.ndim == 3:
+        pred = pred.reshape(two_m, h, w, n)
+    diff = (orig.reshape(h, w, n)[None] - pred).astype(jnp.int16)
+    sad = jnp.abs(diff.astype(jnp.int32)).sum((1, 2), dtype=jnp.int32)
+    # SATD over 4x4 blocks: regroup via reshape/transpose (a plain copy,
+    # not a gather), then one +/-1 matrix transform.  |t| <= 16*1023 < 2^15
+    # so the transform is exact in int16; reductions accumulate in int32.
     nb = (h * w) // 16
-    # SATD consumes 4x4 blocks: permute the sample axis raster->block order.
-    if (h, w) != (4, 4):
-        diff = jnp.take(diff, block_permutation(h, w), axis=1)
-    blocks = diff.reshape(diff.shape[0], nb, 16, diff.shape[2])
-    t = jnp.einsum("kj,mbjn->mbkn", jnp.asarray(_H16), blocks,
-                   preferred_element_type=jnp.int32)
-    dc = jnp.abs(t[:, :, 0])
-    block_satd = jnp.abs(t).sum(2, dtype=jnp.int32) - dc + (dc >> 2)
+    blocks = diff.reshape(two_m, h // 4, 4, w // 4, 4, n)
+    blocks = jnp.transpose(blocks, (0, 1, 3, 2, 4, 5))
+    blocks = blocks.reshape(two_m, nb, 16, n)
+    t = jnp.einsum("kj,mbjn->mbkn", jnp.asarray(_H16, np.int16), blocks,
+                   preferred_element_type=jnp.int16)
+    dc = jnp.abs(t[:, :, 0].astype(jnp.int32))
+    block_satd = (jnp.abs(t.astype(jnp.int32)).sum(2, dtype=jnp.int32)
+                  - dc + (dc >> 2))
     block_satd = (block_satd + 1) >> 1
     return sad, block_satd.sum(1, dtype=jnp.int32)
