@@ -1,0 +1,42 @@
+"""The fused Pallas upsample+distortion kernel must match the XLA SoA path
+bit-for-bit (interpret mode on CPU; the same kernel runs compiled on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vvc_mip_gpu_tpu.ops import mip_ops_soa as soa
+from vvc_mip_gpu_tpu.ops.pallas.distortion import upsample_distortion
+
+RNG = np.random.default_rng(5)
+
+
+@pytest.mark.parametrize("h,w,r,two_m", [
+    (8, 8, 4, 16),    # SizeId1 square
+    (4, 16, 4, 16),   # SizeId1 wide, up_v == 1
+    (16, 4, 4, 16),   # SizeId1 tall, up_h == 1
+    (16, 16, 8, 12),  # SizeId2
+    (4, 4, 4, 32),    # SizeId0: no upsampling at all
+])
+def test_pallas_matches_soa(h, w, r, two_m):
+    n = 256
+    pred = jnp.asarray(
+        RNG.integers(0, 1024, (two_m, r * r, n)), jnp.int16)
+    orig = jnp.asarray(RNG.integers(0, 1024, (h * w, n)), jnp.int32)
+    ref_t = jnp.asarray(RNG.integers(0, 1024, (w, n)), jnp.int32)
+    ref_l = jnp.asarray(RNG.integers(0, 1024, (h, n)), jnp.int32)
+
+    if (h, w) == (4, 4):
+        exp_pred = pred
+    else:
+        exp_pred = soa.upsample_all(pred, ref_t, ref_l, w, h, r)
+    exp_sad, exp_satd = soa.distortion(orig, exp_pred, h, w)
+
+    up_v = h // r
+    got_sad, got_satd = upsample_distortion(
+        pred, orig.astype(jnp.int16), ref_t.astype(jnp.int16),
+        ref_l[up_v - 1::up_v].astype(jnp.int16),
+        h=h, w=w, r=r, cu_tile=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_sad), np.asarray(exp_sad))
+    np.testing.assert_array_equal(np.asarray(got_satd), np.asarray(exp_satd))

@@ -52,15 +52,22 @@ class FrameCosts:
     valid: jax.Array  # bool, same layout; False for out-of-frame CUs
 
 
-def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan):
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
+                 use_pallas: bool | None = None):
     """Costs of one shape class in SoA lattice order: ([2M, nCU] sad, satd).
 
-    The CU axis concatenates every group's lattice-ordered CUs; callers
-    split it back per group with cplan.shape.cu_offsets scaled by nCTU...
-    (see _compute: groups are split by lattice sizes, then reordered).
+    The CU axis concatenates every group's lattice-ordered CUs in group
+    order; _compute splits it back per group and reorders.  On TPU the
+    upsample+distortion stage runs as one fused Pallas kernel (no HBM
+    intermediates); elsewhere (CPU tests) the XLA SoA path is used.
     """
     shape = cplan.shape
     w, h = shape.width, shape.height
+    r = shape.reduced_pred_size
     ref_t_parts, ref_l_parts, orig_parts = [], [], []
     for gp in cplan.groups:
         rt, rl = soa.gather_boundaries(ref_ext, gp, is_top)
@@ -69,16 +76,33 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan):
         orig_parts.append(soa.gather_originals(frame, gp))
     ref_t = jnp.concatenate(ref_t_parts, axis=-1)  # [w, nCU]
     ref_l = jnp.concatenate(ref_l_parts, axis=-1)  # [h, nCU]
-    orig = jnp.concatenate(orig_parts, axis=-1)  # [h*w, nCU] block order
+    orig = jnp.concatenate(orig_parts, axis=-1)  # [h*w, nCU] raster
 
     red_t = soa.reduce_boundary(ref_t, shape.boundary_size)
     red_l = soa.reduce_boundary(ref_l, shape.boundary_size)
     pred = soa.reduced_prediction_all_modes(red_t, red_l, shape.size_id)
+
+    if use_pallas is None:
+        use_pallas = _use_pallas()
+    if use_pallas:
+        from vvc_mip_gpu_tpu.ops.pallas.distortion import (
+            default_cu_tile, upsample_distortion)
+
+        n_cu = pred.shape[-1]
+        tile = default_cu_tile(h, w)
+        pad = (-n_cu) % tile
+        up_v = h // r
+        args = [pred, orig.astype(jnp.int16), ref_t.astype(jnp.int16),
+                ref_l[up_v - 1::up_v].astype(jnp.int16)]
+        if pad:
+            args = [jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+                    for a in args]
+        sad, satd = upsample_distortion(*args, h=h, w=w, r=r, cu_tile=tile)
+        return sad[:, :n_cu], satd[:, :n_cu]
+
     if shape.size_id > 0:
-        pred = soa.upsample_all(pred, ref_t, ref_l, w, h,
-                                shape.reduced_pred_size)
-    sad, satd = soa.distortion(orig, pred, h, w)
-    return sad, satd
+        pred = soa.upsample_all(pred, ref_t, ref_l, w, h, r)
+    return soa.distortion(orig, pred, h, w)
 
 
 def _flatten_strided(blocks: dict[int, jax.Array]) -> jax.Array:
