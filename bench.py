@@ -24,22 +24,31 @@ import jax.numpy as jnp
 
 ASSUMED_BASELINE_FPS = 60.0
 W, H = 1920, 1080
-WARMUP = 2
-ITERS = 8
+BATCH = 8  # frames per dispatch (the analog of the reference's
+           # BUFFER_SLOTS pipelining, main_aux_functions.h:5)
+WARMUP = 1
+ITERS = 4
 
 
 def main() -> None:
-    from vvc_mip_gpu_tpu.models.cost_engine import MipCostEngine
+    import functools
 
-    engine = MipCostEngine(W, H)
+    from vvc_mip_gpu_tpu.models.cost_engine import _compute
+
     rng = np.random.default_rng(0)
-    base = jnp.asarray(rng.integers(0, 1024, size=(H, W), dtype=np.int32))
-    base = jax.device_put(base)
+    frames = jax.device_put(jnp.asarray(
+        rng.integers(0, 1024, size=(BATCH, H, W), dtype=np.int32)))
+
+    @jax.jit
+    def run_batch(fr):
+        one = functools.partial(_compute, width=W, height=H)
+        return jax.vmap(
+            lambda x: one(x, x).min_sad_had.sum(dtype=jnp.int32))(fr).sum()
 
     def run(i: int) -> int:
-        costs = engine(base ^ (i + 1))
-        # Forced scalar readback: blocks until the whole pipeline executed.
-        return int(jnp.sum(costs.min_sad_had, dtype=jnp.int64))
+        # Distinct inputs per iteration + forced scalar readback: defeats
+        # backend memoization and async dispatch hiding execution time.
+        return int(run_batch(frames ^ (i + 1)))
 
     for i in range(WARMUP):
         run(i)
@@ -47,7 +56,7 @@ def main() -> None:
     checksum = 0
     for i in range(ITERS):
         checksum ^= run(WARMUP + i)
-    dt = (time.perf_counter() - t0) / ITERS
+    dt = (time.perf_counter() - t0) / (ITERS * BATCH)
     fps = 1.0 / dt
     print(json.dumps({
         "metric": "mip_search_1080p_frames_per_second",

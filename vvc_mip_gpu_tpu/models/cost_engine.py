@@ -119,6 +119,10 @@ def compute_ext(frame, ref_ext, is_top, width: int, height: int):
     ``is_top`` (bool, may be traced) marks the slab holding the frame's
     global top row.  Returns (sad, satd) in the flat strided layout.
     """
+    # Gathers and SoA transposes are pure data movement: run them in int16
+    # (10-bit samples) to halve the traffic.  Arithmetic stages cast up.
+    frame = frame.astype(jnp.int16)
+    ref_ext = ref_ext.astype(jnp.int16)
     sad_blocks: dict[int, jax.Array] = {}
     satd_blocks: dict[int, jax.Array] = {}
     for cplan in class_plans(width, height):
@@ -137,8 +141,6 @@ def compute_ext(frame, ref_ext, is_top, width: int, height: int):
 
 
 def _compute(frame, ref, width: int, height: int) -> FrameCosts:
-    frame = frame.astype(jnp.int32)
-    ref = ref.astype(jnp.int32)
     ref_ext = jnp.concatenate([ref[:1], ref], axis=0)  # dummy halo row
     sad_flat, satd_flat = compute_ext(frame, ref_ext, True, width, height)
     return FrameCosts(

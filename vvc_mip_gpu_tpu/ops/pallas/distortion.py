@@ -59,10 +59,15 @@ def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, sad_ref, satd_ref, *,
     # VMEM loads; inputs stay int16 in HBM to halve DMA traffic.
     up_h = w // r
     up_v = h // r
+    c = pred_ref.shape[-1]
+    # Interpolation weight planes are mode-invariant: build them once.
+    if up_h > 1:
+        oh = jax.lax.broadcasted_iota(jnp.int32, (r, w, c), 1) % up_h + 1
+    if up_v > 1:
+        ov = jax.lax.broadcasted_iota(jnp.int32, (h, w, c), 0) % up_v + 1
 
     def mode_body(m, _):
         p = pred_ref[pl.ds(m, 1)].astype(jnp.int32)
-        c = p.shape[-1]
         p3 = p.reshape(r, r, c)
         # ---- horizontal upsample (anchor rows)
         if up_h == 1:
@@ -72,11 +77,9 @@ def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, sad_ref, satd_ref, *,
             before = jnp.concatenate([lead, p3[:, :-1, :]], axis=1)
             before = jnp.repeat(before, up_h, axis=1)
             after = jnp.repeat(p3, up_h, axis=1)
-            o = jax.lax.broadcasted_iota(jnp.int32, (r, w, c), 1)
-            o = (o % up_h) + 1
             log2 = up_h.bit_length() - 1
             rnd = 1 << (log2 - 1)
-            anch = ((up_h - o) * before + o * after + rnd) >> log2
+            anch = ((up_h - oh) * before + oh * after + rnd) >> log2
         # ---- vertical upsample (all rows)
         if up_v == 1:
             up = anch
@@ -85,11 +88,9 @@ def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, sad_ref, satd_ref, *,
             before = jnp.concatenate([top, anch[:-1, :, :]], axis=0)
             before = jnp.repeat(before, up_v, axis=0)
             after = jnp.repeat(anch, up_v, axis=0)
-            o = jax.lax.broadcasted_iota(jnp.int32, (h, w, c), 0)
-            o = (o % up_v) + 1
             log2 = up_v.bit_length() - 1
             rnd = 1 << (log2 - 1)
-            up = ((up_v - o) * before + o * after + rnd) >> log2
+            up = ((up_v - ov) * before + ov * after + rnd) >> log2
         # ---- SAD
         orig = orig_ref[...].astype(jnp.int32).reshape(h, w, c)
         diff = orig - up

@@ -57,8 +57,6 @@ def _validity_mask_np(width: int, true_height: int, padded_height: int):
 
 def _local_costs(frame, ref, width: int, local_height: int):
     """Per-shard computation: halo exchange then the dense cost pipeline."""
-    frame = frame.astype(jnp.int32)
-    ref = ref.astype(jnp.int32)
     # Send each band's last reference row to the band below (ring shift).
     n_space = jax.lax.axis_size("space")
     halo = jax.lax.ppermute(
