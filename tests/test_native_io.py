@@ -1,0 +1,38 @@
+"""The native C I/O paths must be byte-equivalent to the Python fallbacks."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vvc_mip_gpu_tpu.io import export, frames as fio
+
+native = pytest.importorskip("vvc_mip_gpu_tpu.io.native")
+
+
+def test_native_read_matches_python(tmp_path):
+    fr = fio.synthetic_frames(2, 96, 64)
+    p = tmp_path / "f.csv"
+    fio.write_frames_csv(p, fr)
+    got = native.read_samples_csv(str(p), 96, 128)
+    np.testing.assert_array_equal(got.reshape(2, 64, 96), fr)
+
+
+def test_native_export_matches_pandas(tmp_path, monkeypatch):
+    rng = np.random.default_rng(2)
+    msh = rng.integers(0, 100000, size=(2, export.DIST_PER_CTU))
+    sad = rng.integers(0, 50000, size=(2, export.DIST_PER_CTU))
+    satd = rng.integers(0, 50000, size=(2, export.DIST_PER_CTU))
+    p_nat = tmp_path / "nat.csv"
+    p_pd = tmp_path / "pd.csv"
+    export.export_decisions_csv(p_nat, msh, 256, sad=sad, satd=satd)
+
+    # Force the pandas path by hiding the native module.
+    import vvc_mip_gpu_tpu.io as io_pkg
+
+    monkeypatch.setitem(
+        __import__("sys").modules, "vvc_mip_gpu_tpu.io.native", None)
+    export.export_decisions_csv(p_pd, msh, 256, sad=sad, satd=satd)
+
+    a = pd.read_csv(p_nat)
+    b = pd.read_csv(p_pd)
+    pd.testing.assert_frame_equal(a, b)

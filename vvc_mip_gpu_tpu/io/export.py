@@ -56,6 +56,16 @@ def _per_ctu_columns():
     return names, w, h, cu, x_in_ctu, y_in_ctu, mode
 
 
+@functools.cache
+def _prefix_table() -> bytes:
+    """Per-slab-row "<name>,<W>,<H>,<cu>\\t<mode>" strings for the native
+    writer, newline-separated."""
+    names, w, h, cu, _, _, mode = _per_ctu_columns()
+    rows = [f"{names[i]},{w[i]},{h[i]},{cu[i]}\t{mode[i]}"
+            for i in range(DIST_PER_CTU)]
+    return ("\n".join(rows) + "\n").encode()
+
+
 def export_decisions_csv(path: str | Path, min_sad_had: np.ndarray,
                          frame_width: int, sad: np.ndarray | None = None,
                          satd: np.ndarray | None = None,
@@ -64,7 +74,8 @@ def export_decisions_csv(path: str | Path, min_sad_had: np.ndarray,
 
     min_sad_had / sad / satd: [nCTU, DIST_PER_CTU] in the strided layout
     (FrameCosts fields).  ``poc`` adds the multi-frame POC column variant
-    (reference: main_aux_functions.h:843-906).
+    (reference: main_aux_functions.h:843-906).  Uses the native C writer
+    when built (native/io_ext.c); otherwise pandas.
     """
     import pandas as pd
 
@@ -72,6 +83,21 @@ def export_decisions_csv(path: str | Path, min_sad_had: np.ndarray,
     n_ctu = min_sad_had.shape[0]
     ctu_cols = -(-frame_width // CTU_SIZE)
     names, w, h, cu, x_in, y_in, mode = _per_ctu_columns()
+
+    if poc is None:
+        try:
+            from vvc_mip_gpu_tpu.io import native
+
+            zeros = np.zeros_like(min_sad_had, np.int64)
+            native.write_decisions_csv(
+                str(path), "CTU,cuSizeName,W,H,CU,X,Y,Mode,SAD,SATD,minSadHad\n",
+                _prefix_table(), x_in, y_in,
+                zeros if sad is None else sad,
+                zeros if satd is None else satd,
+                min_sad_had, n_ctu, ctu_cols, CTU_SIZE)
+            return
+        except ImportError:
+            pass
 
     ctu = np.repeat(np.arange(n_ctu, dtype=np.int32), DIST_PER_CTU)
     ctu_x = (np.arange(n_ctu, dtype=np.int32) % ctu_cols) * CTU_SIZE
