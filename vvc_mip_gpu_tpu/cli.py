@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Data-parallel (frame) mesh axis size")
     p.add_argument("--MeshSpace", type=int, default=1,
                    help="Spatial (CTU-row) mesh axis size")
+    p.add_argument("--TargetCTU", type=int, default=None,
+                   help="Print the distortion table of this CTU "
+                        "(reference reportDistortionOnlyTarget)")
     # Kept for command-line compatibility with the reference; device
     # selection is JAX's job on TPU.
     p.add_argument("--DeviceIndex", type=int, default=0,
@@ -80,7 +83,8 @@ def _config_from_args(args) -> EngineConfig:
     return cfg
 
 
-def run(cfg: EngineConfig, synthetic: bool = False) -> int:
+def run(cfg: EngineConfig, synthetic: bool = False,
+        target_ctu: int | None = None) -> int:
     from vvc_mip_gpu_tpu.io import export, frames as fio
 
     timer = StageTimer(trace_power=cfg.trace_power)
@@ -148,6 +152,12 @@ def run(cfg: EngineConfig, synthetic: bool = False) -> int:
                 satd = (None if cfg.max_performance
                         else np.asarray(costs.satd))
             _export_frame(cfg, export, msh, sad, satd, poc=f)
+            if target_ctu is not None:
+                from vvc_mip_gpu_tpu.models.inspect import report_target_ctu
+
+                report_target_ctu(msh, cfg.width, target_ctu,
+                                  sad=None if sad is None else sad,
+                                  satd=None if satd is None else satd)
 
     print(timer.report())
     print(timer.report_compact(cfg.n_frames))
@@ -166,7 +176,7 @@ def _export_frame(cfg, export, msh, sad, satd, poc):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = _config_from_args(args)
-    return run(cfg, synthetic=args.Synthetic)
+    return run(cfg, synthetic=args.Synthetic, target_ctu=args.TargetCTU)
 
 
 if __name__ == "__main__":
