@@ -1,0 +1,168 @@
+"""Per-stage and per-class timing breakdown of the 1080p pipeline on TPU.
+
+Not part of the library API: a development harness for finding where frame
+time goes.  The axon relay adds ~8-30 ms per Python-level dispatch/sync, so
+every measured computation is repeated K and 2K times *inside one jit* via
+lax.fori_loop; the time difference divided by K cancels all constant
+dispatch overhead and yields pure device time.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vvc_mip_gpu_tpu.models.cost_engine import _compute
+from vvc_mip_gpu_tpu.ops import mip_ops_soa as soa
+from vvc_mip_gpu_tpu.ops.geometry import class_plans
+
+W, H = 1920, 1080
+K = 48
+
+
+def _sync(out):
+    # Through the axon relay, block_until_ready returns before device
+    # execution finishes; a one-element readback is the only reliable sync.
+    return int(jax.tree_util.tree_leaves(out)[-1].ravel()[-1])
+
+
+def device_ms(body, x0):
+    """Pure device ms of body(x) via K-vs-2K in-jit repetition.
+
+    body: x (int array) -> scalar-reducible pytree.  The loop xors the input
+    with the iteration index so repetitions cannot be CSE'd away.
+    """
+
+    @jax.jit
+    def run(x):
+        def it(i, acc):
+            out = body(x ^ i.astype(x.dtype))
+            leaves = jax.tree_util.tree_leaves(out)
+            s = sum(l.ravel()[-1].astype(jnp.int32) for l in leaves)
+            return acc + s
+        return jax.lax.fori_loop(0, K, it, jnp.int32(0))
+
+    _sync(run(x0))  # compile
+    best = min(_timed(lambda j=j: _sync(run(x0 ^ (j + 1))))
+               for j in range(5))
+    return (best - _baseline()) / K * 1e3
+
+
+def _timed(thunk):
+    t0 = time.perf_counter()
+    thunk()
+    return time.perf_counter() - t0
+
+
+@functools.cache
+def _baseline():
+    """Min sync round-trip of a trivial dispatch (constant overhead)."""
+    x = jnp.int32(7)
+    f = jax.jit(lambda v: v + 1)
+    _sync(f(x))
+    return min(_timed(lambda j=j: _sync(f(x + j))) for j in range(10))
+
+
+def main():
+    rng = np.random.default_rng(0)
+    frame = jax.device_put(jnp.asarray(
+        rng.integers(0, 1024, size=(H, W), dtype=np.int32)))
+
+    import sys
+    if "--e2e" in sys.argv:
+        e2e = device_ms(
+            lambda fr: _compute(fr, fr, width=W, height=H).min_sad_had,
+            frame)
+        print(f"end-to-end single frame: {e2e:8.2f} ms", flush=True)
+
+    from vvc_mip_gpu_tpu.models.cost_engine import _pad_edge
+    from vvc_mip_gpu_tpu.ops.geometry import padded_extent
+
+    def _padded(fr):
+        fr16 = fr.astype(jnp.int16)
+        ref_ext = jnp.concatenate([fr16[:1], fr16], axis=0)
+        hp, wp = padded_extent(W, H)
+        frame_pad = _pad_edge(fr16, hp, wp)
+        ref_pad = _pad_edge(ref_ext, hp + 1, wp)
+        ref_pad = jnp.concatenate([ref_pad[:, :1], ref_pad], axis=1)
+        return frame_pad, ref_pad
+
+    # stage A: gathers + boundary reduce + einsum pred (all classes)
+    def stage_a(fr):
+        frame_pad, ref_pad = _padded(fr)
+        outs = []
+        for cplan in class_plans(W, H):
+            shape = cplan.shape
+            rts, rls, origs = [], [], []
+            for gp in cplan.groups:
+                rt, rl = soa.gather_boundaries(ref_pad, gp, True)
+                rts.append(rt)
+                rls.append(rl)
+                origs.append(soa.gather_originals(frame_pad, gp))
+            ref_t = jnp.concatenate(rts, axis=-1)
+            ref_l = jnp.concatenate(rls, axis=-1)
+            orig = jnp.concatenate(origs, axis=-1)
+            red_t = soa.reduce_boundary(ref_t, shape.boundary_size)
+            red_l = soa.reduce_boundary(ref_l, shape.boundary_size)
+            pred = soa.reduced_prediction_all_modes(red_t, red_l,
+                                                    shape.size_id)
+            outs.append((pred, orig, ref_t, ref_l))
+        return outs
+
+    print(f"stage A (gather+reduce+pred einsum, all classes): "
+          f"{device_ms(stage_a, frame):8.2f} ms")
+
+    # gathers only
+    def gathers_only(fr):
+        frame_pad, ref_pad = _padded(fr)
+        outs = []
+        for cplan in class_plans(W, H):
+            for gp in cplan.groups:
+                rt, rl = soa.gather_boundaries(ref_pad, gp, True)
+                outs.append((rt, rl, soa.gather_originals(frame_pad, gp)))
+        return outs
+
+    print(f"  gathers only: {device_ms(gathers_only, frame):8.2f} ms")
+
+    # stage B: pallas distortion per class (inputs fixed per class)
+    from vvc_mip_gpu_tpu.ops.pallas.distortion import (
+        default_cu_tile, upsample_distortion)
+
+    @jax.jit
+    def staged(fr):
+        return stage_a(fr)
+
+    vals = staged(frame)
+    _sync(vals[-1][0])
+    b_total = 0.0
+    for cplan, (pred, orig, ref_t, ref_l) in zip(class_plans(W, H), vals):
+        shape = cplan.shape
+        h, w, r = shape.height, shape.width, shape.reduced_pred_size
+        n_cu = pred.shape[-1]
+        tile = default_cu_tile(h, w)
+        pad = (-n_cu) % tile
+        up_v = h // r
+        args = [pred, orig, ref_t, ref_l[up_v - 1::up_v]]
+        if pad:
+            args = [jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+                    for a in args]
+        args = [jax.device_put(a) for a in args]
+
+        def body(p, _args=args, _h=h, _w=w, _r=r, _tile=tile):
+            return upsample_distortion(p, *_args[1:], h=_h, w=_w, r=_r,
+                                       cu_tile=_tile)
+
+        ms = device_ms(body, args[0])
+        b_total += ms
+        print(f"  class {w:3d}x{h:<3d} sid{shape.size_id} nCU={n_cu:6d} "
+              f"2M={pred.shape[0]:2d} tile={tile:4d}: {ms:7.2f} ms")
+    print(f"stage B (pallas distortion, sum): {b_total:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -33,7 +33,7 @@ from vvc_mip_gpu_tpu.constants import (
     num_ctus,
 )
 from vvc_mip_gpu_tpu.ops import mip_ops_soa as soa
-from vvc_mip_gpu_tpu.ops.geometry import ClassPlan, class_plans
+from vvc_mip_gpu_tpu.ops.geometry import ClassPlan, class_plans, padded_extent
 
 
 @jax.tree_util.register_dataclass
@@ -105,6 +105,17 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
     return soa.distortion(orig, pred, h, w)
 
 
+def _pad_edge(a, rows: int, cols: int):
+    """Pad [R, C] to [rows, cols] by replicating the last row/column."""
+    if rows > a.shape[0]:
+        tail = jnp.broadcast_to(a[-1:], (rows - a.shape[0], a.shape[1]))
+        a = jnp.concatenate([a, tail], axis=0)
+    if cols > a.shape[1]:
+        tail = jnp.broadcast_to(a[:, -1:], (a.shape[0], cols - a.shape[1]))
+        a = jnp.concatenate([a, tail], axis=1)
+    return a
+
+
 def _flatten_strided(blocks: dict[int, jax.Array]) -> jax.Array:
     """Concatenate per-group [nCTU, n*2M] blocks into the strided layout."""
     return jnp.concatenate([blocks[g.index] for g in GROUPS], axis=1)
@@ -123,10 +134,17 @@ def compute_ext(frame, ref_ext, is_top, width: int, height: int):
     # (10-bit samples) to halve the traffic.  Arithmetic stages cast up.
     frame = frame.astype(jnp.int16)
     ref_ext = ref_ext.astype(jnp.int16)
+    # Edge-replication padding turns every lattice gather into strided
+    # slices (geometry.padded_extent); padded samples reach only CUs the
+    # validity mask flags out-of-frame.
+    hp, wp = padded_extent(width, height)
+    frame_pad = _pad_edge(frame, hp, wp)
+    ref_pad = _pad_edge(ref_ext, hp + 1, wp)
+    ref_pad = jnp.concatenate([ref_pad[:, :1], ref_pad], axis=1)
     sad_blocks: dict[int, jax.Array] = {}
     satd_blocks: dict[int, jax.Array] = {}
     for cplan in class_plans(width, height):
-        sad, satd = _class_costs(frame, ref_ext, is_top, cplan)
+        sad, satd = _class_costs(frame_pad, ref_pad, is_top, cplan)
         # Split the class CU axis back per group (static lattice sizes) and
         # reorder each from lattice order to the reference CTU layout.
         off = 0
@@ -147,13 +165,14 @@ def _compute(frame, ref, width: int, height: int) -> FrameCosts:
         sad=sad_flat,
         satd=satd_flat,
         min_sad_had=jnp.minimum(2 * sad_flat, satd_flat),
-        valid=_validity_mask(width, height),
+        valid=jnp.asarray(_validity_mask(width, height)),
     )
 
 
 @functools.cache
 def _validity_mask(width: int, height: int):
-    """Static [nCTU, 97840] bool mask of fully-in-frame CUs."""
+    """Static [nCTU, 97840] bool mask of fully-in-frame CUs (numpy —
+    cached values must not be trace-local jax arrays)."""
     import numpy as np
 
     _, _, n_ctu = num_ctus(width, height)
@@ -165,7 +184,7 @@ def _validity_mask(width: int, height: int):
             v = np.repeat(v, g.total_modes, axis=1)
             start = int(STRIDED_DISTORTIONS_PER_CTU[g.index])
             out[:, start:start + v.shape[1]] = v
-    return jnp.asarray(out)
+    return out
 
 
 class MipCostEngine:

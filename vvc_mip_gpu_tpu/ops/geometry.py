@@ -31,6 +31,16 @@ from vvc_mip_gpu_tpu.constants import (
 )
 
 
+def _progression(idx: np.ndarray) -> tuple[int, int] | None:
+    """(start, step) if idx is a uniform arithmetic progression, else None."""
+    if len(idx) < 2:
+        return (int(idx[0]), 1)
+    d = np.diff(idx)
+    if (d == d[0]).all():
+        return (int(idx[0]), int(d[0]))
+    return None
+
+
 @dataclasses.dataclass(frozen=True)
 class GroupPlan:
     """Gather plan for one size group at a fixed frame size.
@@ -39,16 +49,25 @@ class GroupPlan:
     [ctu_row, cu_row, ctu_col, cu_col] flattened as
     (row-CU major x col-CU minor); `to_ctu_layout` permutes a gathered
     tensor into the reference's [nCTU, cuIdxInCtu] ordering.
+
+    CU origin coordinates are *unclipped*: the engine gathers from a frame
+    padded by edge replication (see `padded_extent`), so out-of-frame CUs
+    read deterministic replicated samples and are flagged by `valid`.
+    Nearly every group's origin lattice is a uniform arithmetic progression
+    along each axis (`y_prog`/`x_prog`), so gathers lower to strided slices
+    + reshapes; the two interleaved-lattice 8x8 groups fall back to takes.
     """
 
     group_index: int
     width: int  # CU width
     height: int  # CU height
+    frame_w: int
+    frame_h: int
     # Global CU origin coordinates along each lattice axis:
-    ys: np.ndarray  # [n_rows_total] unclipped CU y origins
-    xs: np.ndarray  # [n_cols_total] unclipped CU x origins
-    yc: np.ndarray  # clipped to keep the CU window inside the frame
-    xc: np.ndarray
+    ys: np.ndarray  # [n_rows_total] CU y origins
+    xs: np.ndarray  # [n_cols_total] CU x origins
+    y_prog: tuple[int, int] | None  # (start, step) if ys is uniform
+    x_prog: tuple[int, int] | None
     ctu_rows: int
     ctu_cols: int
     cu_rows: int  # CU rows per CTU
@@ -65,7 +84,8 @@ class GroupPlan:
     @property
     def valid(self) -> np.ndarray:
         """[n_rows, n_cols] bool — CU fully inside the frame."""
-        return ((self.ys == self.yc)[:, None]) & ((self.xs == self.xc)[None, :])
+        return ((self.ys + self.height <= self.frame_h)[:, None]
+                & ((self.xs + self.width <= self.frame_w)[None, :]))
 
     def to_ctu_layout(self, arr: np.ndarray) -> np.ndarray:
         """Reorder leading [n_rows, n_cols] axes to [nCTU, cusPerCtu]."""
@@ -120,15 +140,39 @@ def _group_plan(group_index: int, frame_w: int, frame_h: int) -> GroupPlan:
         group_index=group_index,
         width=g.width,
         height=g.height,
+        frame_w=frame_w,
+        frame_h=frame_h,
         ys=ys,
         xs=xs,
-        yc=np.clip(ys, 0, frame_h - g.height),
-        xc=np.clip(xs, 0, frame_w - g.width),
+        y_prog=_progression(ys),
+        x_prog=_progression(xs),
         ctu_rows=ctu_rows,
         ctu_cols=ctu_cols,
         cu_rows=g.cu_rows,
         cu_cols=g.cu_columns,
     )
+
+
+def _axis_extent(prog, idx, n: int, win: int) -> int:
+    """Rows/cols the padded frame must provide for this gather."""
+    if prog is not None:
+        o, s = prog
+        # the block-slice trick reads [o, o + n*max(s, win))
+        return o + n * max(s, win) if n > 1 else o + win
+    return int(idx[-1]) + win
+
+
+@functools.cache
+def padded_extent(frame_w: int, frame_h: int) -> tuple[int, int]:
+    """(Hp, Wp): frame extent, edge-replication padded, covering every
+    group's slice-based gather (out-of-frame CUs read replicated samples
+    and are masked invalid)."""
+    hp, wp = frame_h, frame_w
+    for i in range(len(GROUPS)):
+        p = _group_plan(i, frame_w, frame_h)
+        hp = max(hp, _axis_extent(p.y_prog, p.ys, p.n_rows, p.height))
+        wp = max(wp, _axis_extent(p.x_prog, p.xs, p.n_cols, p.width))
+    return hp, wp
 
 
 @functools.cache

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from vvc_mip_gpu_tpu import mip_weights
@@ -36,54 +37,113 @@ _H4 = np.array(
 _H16 = np.kron(_H4, _H4)  # flattened two-sided 4x4 Hadamard; index 0 = DC
 
 
-def gather_boundaries(ref_ext, plan: GroupPlan, is_top):
+def _shift(prog, by: int):
+    return None if prog is None else (prog[0] + by, prog[1])
+
+
+def _row_strided(a, prog, idx, n: int):
+    """Rows {idx_k} of [R, C] -> [n, C] (strided slice when uniform)."""
+    if prog is not None:
+        o, s = prog
+        return jax.lax.slice(a, (o, 0), (o + (n - 1) * s + 1, a.shape[1]),
+                             (s, 1))
+    return jnp.take(a, idx, axis=0)
+
+
+def _col_strided(a, prog, idx, n: int):
+    """Columns {idx_k} of [R, C] -> [R, n]."""
+    if prog is not None:
+        o, s = prog
+        return jax.lax.slice(a, (0, o), (a.shape[0], o + (n - 1) * s + 1),
+                             (1, s))
+    return jnp.take(a, idx, axis=1)
+
+
+def _row_blocks(a, prog, idx, n: int, h: int):
+    """Row windows {idx_k .. idx_k+h-1} of [R, C] -> [n, h, C].
+
+    With a uniform lattice this is a contiguous slice + reshape (+ a trim
+    when the lattice step exceeds the window); only the two interleaved
+    8x8 groups fall back to a gather.
+    """
+    if prog is not None:
+        o, s = prog
+        if s == h or n == 1:
+            blk = jax.lax.slice_in_dim(a, o, o + n * h, axis=0)
+            return blk.reshape(n, h, a.shape[1])
+        blk = jax.lax.slice_in_dim(a, o, o + n * s, axis=0)
+        return blk.reshape(n, s, a.shape[1])[:, :h]
+    ridx = (idx[:, None] + np.arange(h)[None, :]).ravel()
+    return jnp.take(a, ridx, axis=0).reshape(n, h, a.shape[1])
+
+
+def _col_blocks(a, prog, idx, n: int, w: int):
+    """Column windows of [..., C] -> [..., n, w]."""
+    lead = a.shape[:-1]
+    if prog is not None:
+        o, s = prog
+        if s == w or n == 1:
+            blk = jax.lax.slice_in_dim(a, o, o + n * w, axis=-1)
+            return blk.reshape(*lead, n, w)
+        blk = jax.lax.slice_in_dim(a, o, o + n * s, axis=-1)
+        return blk.reshape(*lead, n, s)[..., :w]
+    cidx = (idx[:, None] + np.arange(w)[None, :]).ravel()
+    return jnp.take(a, cidx, axis=-1).reshape(*lead, n, w)
+
+
+def gather_boundaries(ref_pad, plan: GroupPlan, is_top):
     """Top/left boundaries in SoA layout: ([w, nCU], [h, nCU]).
 
-    ``ref_ext``: [H_local+1, W] with the row above the slab at index 0
-    (see mip_ops.gather_boundaries_halo).  VVC edge-padding rules applied
-    via static lattice masks (reference: intra.cl:96-107, 232-243).
+    ``ref_pad``: [1+Hp, 1+Wp] padded reference slab — row 0 is the halo row
+    above the slab, column 0 duplicates the slab's first column (read only
+    by frame-left CUs, whose values the VVC edge rule overwrites), and the
+    bottom/right edges are replication-padded to the `padded_extent`.
+    VVC edge-padding rules applied via static lattice masks
+    (reference: intra.cl:96-107, 232-243).
     """
     w, h = plan.width, plan.height
     n_rows, n_cols = plan.n_rows, plan.n_cols
 
-    # ---- top: rows above CUs, sliced per CU column window
-    top_rows = jnp.take(ref_ext, plan.yc, axis=0)  # [n_rows, W]
-    col_idx = (plan.xc[:, None] + np.arange(w)[None, :]).ravel()
-    ref_t = jnp.take(top_rows, col_idx, axis=1)  # [n_rows, n_cols*w]
-    ref_t = ref_t.reshape(n_rows, n_cols, w)
+    # ---- top: the row above each CU row (ref_pad row y == frame row y-1),
+    # sliced per CU column window
+    top_rows = _row_strided(ref_pad, plan.y_prog, plan.ys, n_rows)
+    ref_t = _col_blocks(top_rows, _shift(plan.x_prog, 1), plan.xs + 1,
+                        n_cols, w)  # [n_rows, n_cols, w]
     ref_t = jnp.moveaxis(ref_t, 2, 0).reshape(w, n_rows * n_cols)
-    # frame-top fixup: all samples <- ref row0 sample left of the CU
-    pad_cols = jnp.where(jnp.asarray(plan.xc > 0),
-                         ref_ext[1, np.maximum(plan.xc - 1, 0)], VALUE_DC)
+    # frame-top fixup: all samples <- frame row 0 sample left of the CU
+    pad_cols = jnp.where(jnp.asarray(plan.xs > 0),
+                         ref_pad[1, plan.xs], VALUE_DC)
     pad_t = jnp.tile(pad_cols, n_rows)  # [nCU], varies by column only
     fix_t = jnp.logical_and(
-        jnp.asarray(np.repeat(plan.yc == 0, n_cols)), is_top)
+        jnp.asarray(np.repeat(plan.ys == 0, n_cols)), is_top)
     ref_t = jnp.where(fix_t[None, :], pad_t[None, :], ref_t)
 
-    # ---- left: columns left of CUs, sliced per CU row window
-    left_cols = jnp.take(ref_ext, np.maximum(plan.xc - 1, 0), axis=1)
-    row_idx = (plan.yc[:, None] + 1 + np.arange(h)[None, :]).ravel()
-    ref_l = jnp.take(left_cols, row_idx, axis=0)  # [n_rows*h, n_cols]
-    ref_l = ref_l.reshape(n_rows, h, n_cols)
+    # ---- left: the column left of each CU column (ref_pad col x == frame
+    # col x-1), sliced per CU row window
+    left_cols = _col_strided(ref_pad, plan.x_prog, plan.xs, n_cols)
+    ref_l = _row_blocks(left_cols, _shift(plan.y_prog, 1), plan.ys + 1,
+                        n_rows, h)  # [n_rows, h, n_cols]
     ref_l = jnp.moveaxis(ref_l, 1, 0).reshape(h, n_rows * n_cols)
     # frame-left fixup: all samples <- sample above the CU (via halo), DC
     # at the frame corner
     pad_rows = jnp.where(
-        jnp.logical_and(jnp.asarray(plan.yc == 0), is_top),
-        VALUE_DC, ref_ext[plan.yc, 0])
+        jnp.logical_and(jnp.asarray(plan.ys == 0), is_top),
+        VALUE_DC, ref_pad[plan.ys, 1])
     pad_l = jnp.repeat(pad_rows, n_cols)  # [nCU], varies by row only
-    fix_l = jnp.asarray(np.tile(plan.xc == 0, n_rows))
+    fix_l = jnp.asarray(np.tile(plan.xs == 0, n_rows))
     ref_l = jnp.where(fix_l[None, :], pad_l[None, :], ref_l)
     return ref_t, ref_l
 
 
-def gather_originals(frame, plan: GroupPlan):
-    """Original CU samples in SoA layout: [h*w, nCU], sample axis raster."""
+def gather_originals(frame_pad, plan: GroupPlan):
+    """Original CU samples in SoA layout: [h*w, nCU], sample axis raster.
+
+    ``frame_pad``: [Hp, Wp] distortion-target frame, edge-replication
+    padded to the `padded_extent`.
+    """
     w, h = plan.width, plan.height
-    row_idx = (plan.yc[:, None] + np.arange(h)[None, :]).ravel()
-    col_idx = (plan.xc[:, None] + np.arange(w)[None, :]).ravel()
-    tile = jnp.take(jnp.take(frame, row_idx, axis=0), col_idx, axis=1)
-    tile = tile.reshape(plan.n_rows, h, plan.n_cols, w)
+    rows = _row_blocks(frame_pad, plan.y_prog, plan.ys, plan.n_rows, h)
+    tile = _col_blocks(rows, plan.x_prog, plan.xs, plan.n_cols, w)
     tile = jnp.moveaxis(tile, (1, 3), (0, 1))  # [h, w, n_rows, n_cols]
     return tile.reshape(h * w, plan.n_rows * plan.n_cols)
 
@@ -116,8 +176,13 @@ def reduced_prediction_all_modes(red_t, red_l, size_id: int):
         off = off.at[:, 0].set((1 << 9) - first[:, 0])
     offset_term = ((1 << (MIP_SHIFT_MATRIX - 1))
                    - MIP_OFFSET_MATRIX * off.sum(1))  # [2, nCU]
-    acc = jnp.einsum("msc,tcn->tmsn", mat, off,
-                     preferred_element_type=jnp.int32)
+    # The contraction runs in f32 on the MXU (int32 dots lower to VPU
+    # loops): exact, since |acc| <= 8 * 255 * 1023 < 2^24 — but ONLY at
+    # HIGHEST precision; the TPU default truncates f32 operands to bf16.
+    acc = jnp.einsum("msc,tcn->tmsn", mat.astype(jnp.float32),
+                     off.astype(jnp.float32),
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
     pred = (((acc + offset_term[:, None, None]) >> MIP_SHIFT_MATRIX)
             + first[:, None])
     pred = jnp.clip(pred, 0, SAMPLE_MAX).astype(jnp.int16)  # [2, M, S, nCU]
