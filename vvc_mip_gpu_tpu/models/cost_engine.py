@@ -85,6 +85,10 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
     if use_pallas is None:
         use_pallas = _use_pallas()
     if use_pallas:
+        # The MIP matrix product stays in XLA (f32 MXU einsum above);
+        # fusing it into the kernel was tried and measured ~2x slower —
+        # the contraction depth (4/8) wastes the MXU in-kernel and the
+        # VPU pays ~1 ms/class recomputing it per CU tile.
         from vvc_mip_gpu_tpu.ops.pallas.distortion import (
             default_cu_tile, upsample_distortion)
 
@@ -92,8 +96,7 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
         tile = default_cu_tile(h, w)
         pad = (-n_cu) % tile
         up_v = h // r
-        args = [pred, orig.astype(jnp.int16), ref_t.astype(jnp.int16),
-                ref_l[up_v - 1::up_v].astype(jnp.int16)]
+        args = [pred, orig, ref_t, ref_l[up_v - 1::up_v]]
         if pad:
             args = [jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
                     for a in args]

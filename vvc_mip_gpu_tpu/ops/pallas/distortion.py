@@ -7,11 +7,11 @@ blocks in HBM for every mode; this kernel keeps the whole per-mode pipeline
 in VMEM:
 
   grid: CU tiles (the lane axis).  Per tile, the reduced predictions of all
-  modes, the CU's boundary anchor samples, and the original samples are DMA'd
-  to VMEM once; a fori_loop over the 2M modes then upsamples (exact VVC
-  integer interpolation), computes SAD, and computes the VTM mean-scaled
-  4x4-Hadamard SATD with an 8-op-per-axis butterfly — writing only the
-  [2M, tile] cost rows back to HBM.
+  modes, the CU's boundary anchor samples, and the original samples are
+  DMA'd to VMEM once; a fori_loop over the 2M modes then upsamples (exact
+  VVC integer interpolation, delta form), computes SAD, and computes the
+  VTM mean-scaled 4x4-Hadamard SATD with an 8-op-per-axis butterfly —
+  writing only the [2M, tile] cost rows back to HBM.
 
 HBM traffic per class: pred + orig + boundaries in, 2x[2M, nCU] int32 out —
 no intermediate tensors.  All arithmetic int16 (upsample products bounded by
@@ -54,48 +54,53 @@ def _hadamard4(parts):
 
 def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, sad_ref, satd_ref, *,
             h: int, w: int, r: int, two_m: int):
-    # int16 is storage-only: the v5e VPU has no i16 arithmetic (Mosaic
-    # rejects i16 shifts/subtracts), so compute runs in int32 after the
-    # VMEM loads; inputs stay int16 in HBM to halve DMA traffic.
+    # One CU tile per grid step; a fori_loop over the 2M modes amortizes
+    # the per-step overhead (a mode-per-grid-step variant measured ~2x
+    # slower on small classes).  int16 is storage-only: the v5e VPU has no
+    # i16 arithmetic (Mosaic rejects i16 shifts/subtracts), so compute runs
+    # in int32 after the VMEM loads; inputs stay int16 in HBM to halve DMA
+    # traffic.  Everything mode-invariant is hoisted out of the loop.
     up_h = w // r
     up_v = h // r
     c = pred_ref.shape[-1]
-    # Interpolation weight planes are mode-invariant: build them once.
+    og = orig_ref[...].astype(jnp.int32).reshape(h, w, c)
     if up_h > 1:
-        oh = jax.lax.broadcasted_iota(jnp.int32, (r, w, c), 1) % up_h + 1
+        lead = refl_ref[...].astype(jnp.int32).reshape(r, 1, c)
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
+              % up_h + 1)
     if up_v > 1:
-        ov = jax.lax.broadcasted_iota(jnp.int32, (h, w, c), 0) % up_v + 1
+        top = reft_ref[...].astype(jnp.int32).reshape(1, w, c)
+        ov = (jax.lax.broadcasted_iota(jnp.int32, (h, 1, 1), 0)
+              % up_v + 1)
 
     def mode_body(m, _):
-        p = pred_ref[pl.ds(m, 1)].astype(jnp.int32)
-        p3 = p.reshape(r, r, c)
-        # ---- horizontal upsample (anchor rows)
+        p3 = (pred_ref[pl.ds(m, 1)].astype(jnp.int32).reshape(r, r, c))
+        # ---- horizontal upsample (anchor rows).  Delta form:
+        # (up-o)*before + o*after == (before << log2) + o*(after-before),
+        # with the subtract done on the small pre-repeat anchor grid.
         if up_h == 1:
             anch = p3
         else:
-            lead = refl_ref[...].astype(jnp.int32).reshape(r, 1, c)
-            before = jnp.concatenate([lead, p3[:, :-1, :]], axis=1)
-            before = jnp.repeat(before, up_h, axis=1)
-            after = jnp.repeat(p3, up_h, axis=1)
+            base = jnp.concatenate([lead, p3[:, :-1, :]], axis=1)
+            delta = p3 - base
             log2 = up_h.bit_length() - 1
-            rnd = 1 << (log2 - 1)
-            anch = ((up_h - oh) * before + oh * after + rnd) >> log2
+            anch = ((jnp.repeat(base, up_h, axis=1) << log2)
+                    + oh * jnp.repeat(delta, up_h, axis=1)
+                    + (1 << (log2 - 1))) >> log2
         # ---- vertical upsample (all rows)
         if up_v == 1:
             up = anch
         else:
-            top = reft_ref[...].astype(jnp.int32).reshape(1, w, c)
-            before = jnp.concatenate([top, anch[:-1, :, :]], axis=0)
-            before = jnp.repeat(before, up_v, axis=0)
-            after = jnp.repeat(anch, up_v, axis=0)
+            base = jnp.concatenate([top, anch[:-1, :, :]], axis=0)
+            delta = anch - base
             log2 = up_v.bit_length() - 1
-            rnd = 1 << (log2 - 1)
-            up = ((up_v - ov) * before + ov * after + rnd) >> log2
+            up = ((jnp.repeat(base, up_v, axis=0) << log2)
+                  + ov * jnp.repeat(delta, up_v, axis=0)
+                  + (1 << (log2 - 1))) >> log2
         # ---- SAD
-        orig = orig_ref[...].astype(jnp.int32).reshape(h, w, c)
-        diff = orig - up
-        sad = jnp.abs(diff).sum((0, 1), dtype=jnp.int32)
-        sad_ref[pl.ds(m, 1), :] = sad.reshape(1, c)
+        diff = og - up
+        sad_ref[pl.ds(m, 1), :] = (
+            jnp.abs(diff).sum((0, 1), dtype=jnp.int32).reshape(1, c))
         # ---- SATD: two-sided 4x4 Hadamard butterflies per block,
         # accumulating |t| inline to keep the VMEM working set small.
         blk = diff.reshape(h // 4, 4, w // 4, 4, c)
@@ -111,12 +116,11 @@ def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, sad_ref, satd_ref, *,
                     dc = a
         bsatd = acc - dc + (dc >> 2)
         bsatd = (bsatd + 1) >> 1
-        satd = bsatd.sum((0, 1), dtype=jnp.int32)
-        satd_ref[pl.ds(m, 1), :] = satd.reshape(1, c)
+        satd_ref[pl.ds(m, 1), :] = (
+            bsatd.sum((0, 1), dtype=jnp.int32).reshape(1, c))
         return 0
 
     jax.lax.fori_loop(0, two_m, mode_body, 0)
-
 
 @functools.partial(jax.jit,
                    static_argnames=("h", "w", "r", "cu_tile", "interpret"))
