@@ -27,7 +27,7 @@ W, H = 1920, 1080
 BATCH = 8  # frames per dispatch (the analog of the reference's
            # BUFFER_SLOTS pipelining, main_aux_functions.h:5)
 WARMUP = 1
-ITERS = 4
+ITERS = 6
 
 
 def main() -> None:
@@ -45,17 +45,18 @@ def main() -> None:
         return jax.vmap(
             lambda x: one(x, x).min_sad_had.sum(dtype=jnp.int32))(fr).sum()
 
-    def run(i: int) -> int:
-        # Distinct inputs per iteration + forced scalar readback: defeats
-        # backend memoization and async dispatch hiding execution time.
-        return int(run_batch(frames ^ (i + 1)))
-
+    int(run_batch(frames))  # compile + warm up
     for i in range(WARMUP):
-        run(i)
+        int(run_batch(frames ^ (i + 1)))
+    # Steady-state throughput: iterations take DISTINCT inputs (defeats
+    # backend memoization) and dispatch back-to-back; one forced scalar
+    # readback at the end drains the queue (the analog of the reference's
+    # async command-queue pipelining with a final clFinish,
+    # main.cpp:1222-1244).
     t0 = time.perf_counter()
-    checksum = 0
-    for i in range(ITERS):
-        checksum ^= run(WARMUP + i)
+    outs = [run_batch(frames ^ (WARMUP + i + 1)) for i in range(ITERS)]
+    checksum = sum(int(o) for o in outs)
+    assert checksum != 0
     dt = (time.perf_counter() - t0) / (ITERS * BATCH)
     fps = 1.0 / dt
     print(json.dumps({

@@ -160,37 +160,55 @@ def reduce_boundary(samples, bnd_size: int):
     return (grouped.sum(1, dtype=jnp.int32) + off) >> log2
 
 
-def reduced_prediction_all_modes(red_t, red_l, size_id: int):
-    """All-mode reduced prediction [2M, S, nCU] int32 (S = R*R raster)."""
+import functools as _functools
+
+
+@_functools.cache
+def _wing_matrices(size_id: int):
+    """([M*S, C] normal, [M*S, C] transposed) f32 weight matrices.
+
+    The transposed wing's output-sample permutation (the r x r grid
+    transposition, reference: intra.cl:485-539) is baked into its row
+    order so both wings are plain matmuls with fusable epilogues."""
+    import numpy as np
+
     r = REDUCED_PRED_SIZE[size_id]
-    m = PRED_MODES[size_id]
-    mat = jnp.asarray(mip_weights.padded_matrix(size_id), jnp.int32)
-    bnd = jnp.stack([jnp.concatenate([red_t, red_l], 0),
-                     jnp.concatenate([red_l, red_t], 0)])  # [2, C, nCU]
-    bnd = bnd.astype(jnp.int32)
-    first = bnd[:, :1]  # [2, 1, nCU]
-    off = bnd - first
-    if size_id == 2:
-        off = off.at[:, 0].set(0)
-    else:
-        off = off.at[:, 0].set((1 << 9) - first[:, 0])
+    mat = mip_weights.padded_matrix(size_id)  # [M, S, C]
+    m, s, c = mat.shape
+    perm = np.arange(s).reshape(r, r).T.ravel()
+    return (mat.reshape(m * s, c).astype(np.float32),
+            mat[:, perm, :].reshape(m * s, c).astype(np.float32))
+
+
+def _wing_prediction(mat_rows, b_first, b_second, size_id: int):
+    """One wing's all-mode prediction [M*S, nCU] int16."""
+    bnd = jnp.concatenate([b_first, b_second], 0).astype(jnp.int32)
+    first = bnd[:1]  # [1, nCU]
+    row0 = (jnp.zeros_like(first) if size_id == 2
+            else (1 << 9) - first)
+    off = jnp.concatenate([row0, bnd[1:] - first], 0)  # [C, nCU]
     offset_term = ((1 << (MIP_SHIFT_MATRIX - 1))
-                   - MIP_OFFSET_MATRIX * off.sum(1))  # [2, nCU]
+                   - MIP_OFFSET_MATRIX * off.sum(0))  # [nCU]
     # The contraction runs in f32 on the MXU (int32 dots lower to VPU
     # loops): exact, since |acc| <= 8 * 255 * 1023 < 2^24 — but ONLY at
     # HIGHEST precision; the TPU default truncates f32 operands to bf16.
-    acc = jnp.einsum("msc,tcn->tmsn", mat.astype(jnp.float32),
-                     off.astype(jnp.float32),
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
-    pred = (((acc + offset_term[:, None, None]) >> MIP_SHIFT_MATRIX)
-            + first[:, None])
-    pred = jnp.clip(pred, 0, SAMPLE_MAX).astype(jnp.int16)  # [2, M, S, nCU]
-    # transposed modes: permute the sample axis by grid transposition
-    # (expressed as reshape/transpose so it lowers to a copy, not a gather)
-    pred_t = pred[1].reshape(m, r, r, -1)
-    pred_t = jnp.swapaxes(pred_t, 1, 2).reshape(m, r * r, -1)
-    return jnp.concatenate([pred[0], pred_t])  # [2M, S, nCU] int16
+    acc = jax.lax.dot(jnp.asarray(mat_rows), off.astype(jnp.float32),
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    pred = ((acc + offset_term[None]) >> MIP_SHIFT_MATRIX) + first
+    return jnp.clip(pred, 0, SAMPLE_MAX).astype(jnp.int16)
+
+
+def reduced_prediction_all_modes(red_t, red_l, size_id: int):
+    """All-mode reduced prediction [2M, S, nCU] int16 (S = R*R raster);
+    modes 0..M-1 are the normal wing, M..2M-1 the transposed wing."""
+    r = REDUCED_PRED_SIZE[size_id]
+    m = PRED_MODES[size_id]
+    mat_n, mat_t = _wing_matrices(size_id)
+    pred_n = _wing_prediction(mat_n, red_t, red_l, size_id)
+    pred_t = _wing_prediction(mat_t, red_l, red_t, size_id)
+    n = pred_n.shape[-1]
+    return jnp.concatenate([pred_n, pred_t]).reshape(2 * m, r * r, n)
 
 
 def _interp(before, after, up: int, pos):
