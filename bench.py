@@ -41,7 +41,11 @@ def main() -> None:
 
     @jax.jit
     def run_batch(fr):
-        one = functools.partial(_compute, width=W, height=H)
+        # max_performance mirrors the reference's default
+        # MAX_PERFORMANCE_DIST=1 build (main_aux_functions.h:1): only
+        # minSadHad is assembled/read, SAD/SATD columns are skipped.
+        one = functools.partial(_compute, width=W, height=H,
+                                max_performance=True)
         return jax.vmap(
             lambda x: one(x, x).min_sad_had.sum(dtype=jnp.int32))(fr).sum()
 

@@ -45,6 +45,17 @@ def test_alternative_samples_regime():
     _check(256, 128, distinct_ref=True)
 
 
+def test_max_performance_min_sad_had_matches():
+    # The reference MAX_PERFORMANCE_DIST analog: minSadHad must equal the
+    # full path's; sad/satd are skipped entirely.
+    frame = RNG.integers(0, 1024, size=(128, 256), dtype=np.int32)
+    full = MipCostEngine(256, 128)(frame)
+    fast = MipCostEngine(256, 128, max_performance=True)(frame)
+    assert fast.sad is None and fast.satd is None
+    np.testing.assert_array_equal(np.asarray(fast.min_sad_had),
+                                  np.asarray(full.min_sad_had))
+
+
 @pytest.mark.slow
 def test_416x240():
     _check(416, 240)

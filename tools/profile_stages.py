@@ -127,7 +127,64 @@ def main():
                 outs.append((rt, rl, soa.gather_originals(frame_pad, gp)))
         return outs
 
-    print(f"  gathers only: {device_ms(gathers_only, frame):8.2f} ms")
+    print(f"  gathers only: {device_ms(gathers_only, frame):8.2f} ms",
+          flush=True)
+
+    # gathers + boundary reduce (isolates the reduce + pred einsum split)
+    def gathers_reduce(fr):
+        frame_pad, ref_pad = _padded(fr)
+        outs = []
+        for cplan in class_plans(W, H):
+            shape = cplan.shape
+            rts, rls, origs = [], [], []
+            for gp in cplan.groups:
+                rt, rl = soa.gather_boundaries(ref_pad, gp, True)
+                rts.append(rt)
+                rls.append(rl)
+                origs.append(soa.gather_originals(frame_pad, gp))
+            ref_t = jnp.concatenate(rts, axis=-1)
+            ref_l = jnp.concatenate(rls, axis=-1)
+            orig = jnp.concatenate(origs, axis=-1)
+            red_t = soa.reduce_boundary(ref_t, shape.boundary_size)
+            red_l = soa.reduce_boundary(ref_l, shape.boundary_size)
+            outs.append((red_t, red_l, orig, ref_t, ref_l))
+        return outs
+
+    print(f"  gathers+reduce: {device_ms(gathers_reduce, frame):8.2f} ms",
+          flush=True)
+
+    # stage C: per-group cost reorder + strided flatten + min
+    from vvc_mip_gpu_tpu.constants import GROUPS, PRED_MODES
+    from vvc_mip_gpu_tpu.models.cost_engine import _flatten_strided
+
+    def stage_c(fake_costs):
+        sad_blocks, satd_blocks = {}, {}
+        k = 0
+        for cplan in class_plans(W, H):
+            two_m = 2 * PRED_MODES[cplan.shape.size_id]
+            off = 0
+            n_tot = sum(gp.n_rows * gp.n_cols for gp in cplan.groups)
+            sad = fake_costs[:two_m, k:k + n_tot]
+            satd = fake_costs[:two_m, k:k + n_tot] ^ 1
+            k += n_tot
+            for gp in cplan.groups:
+                n = gp.n_rows * gp.n_cols
+                sad_blocks[gp.group_index] = gp.lattice_costs_to_ctu(
+                    sad[:, off:off + n])
+                satd_blocks[gp.group_index] = gp.lattice_costs_to_ctu(
+                    satd[:, off:off + n])
+                off += n
+        sf = _flatten_strided(sad_blocks)
+        tf = _flatten_strided(satd_blocks)
+        return jnp.minimum(2 * sf, tf)
+
+    total_cu = sum(gp.n_rows * gp.n_cols for cp in class_plans(W, H)
+                   for gp in cp.groups)
+    fake = jax.device_put(jnp.asarray(
+        np.random.default_rng(1).integers(0, 1 << 20, (32, total_cu)),
+        jnp.int32))
+    print(f"  stage C (reorder+flatten+min): {device_ms(stage_c, fake):8.2f}"
+          " ms", flush=True)
 
     # stage B: pallas distortion per class (inputs fixed per class)
     from vvc_mip_gpu_tpu.ops.pallas.distortion import (

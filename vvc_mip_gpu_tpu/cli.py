@@ -138,13 +138,17 @@ def run(cfg: EngineConfig, synthetic: bool = False,
     else:
         from vvc_mip_gpu_tpu.models.cost_engine import MipCostEngine
 
-        engine = MipCostEngine(cfg.width, cfg.height)
-        for f in range(cfg.n_frames):
-            with timer.stage("ENQUEUE KERNELS"):
-                costs = engine(
-                    frames[f].astype(np.int32),
-                    None if ref_frames is None
-                    else ref_frames[f].astype(np.int32))
+        engine = MipCostEngine(cfg.width, cfg.height,
+                               max_performance=cfg.max_performance)
+        # Sliding-window pipelining: keep a few frames' dispatches in
+        # flight so frame N+1 computes while frame N reads back — the
+        # analog of the reference's BUFFER_SLOTS circular buffer + async
+        # write queue (main_aux_functions.h:5, main.cpp:886-898).
+        window = max(2, cfg.batch_frames)
+        in_flight: list[tuple[int, object]] = []
+
+        def drain(slot):
+            f, costs = slot
             with timer.stage("READ DISTORTION"):
                 msh = np.asarray(costs.min_sad_had)
                 sad = (None if cfg.max_performance
@@ -158,6 +162,18 @@ def run(cfg: EngineConfig, synthetic: bool = False,
                 report_target_ctu(msh, cfg.width, target_ctu,
                                   sad=None if sad is None else sad,
                                   satd=None if satd is None else satd)
+
+        for f in range(cfg.n_frames):
+            with timer.stage("ENQUEUE KERNELS"):
+                costs = engine(
+                    frames[f].astype(np.int32),
+                    None if ref_frames is None
+                    else ref_frames[f].astype(np.int32))
+            in_flight.append((f, costs))
+            if len(in_flight) >= window:
+                drain(in_flight.pop(0))
+        while in_flight:
+            drain(in_flight.pop(0))
 
     print(timer.report())
     print(timer.report_compact(cfg.n_frames))

@@ -124,14 +124,18 @@ def _flatten_strided(blocks: dict[int, jax.Array]) -> jax.Array:
     return jnp.concatenate([blocks[g.index] for g in GROUPS], axis=1)
 
 
-def compute_ext(frame, ref_ext, is_top, width: int, height: int):
+def compute_ext(frame, ref_ext, is_top, width: int, height: int,
+                max_performance: bool = False):
     """Cost computation against a halo-extended reference slab.
 
     ``frame`` is the [height, width] distortion-target slab; ``ref_ext`` is
     [height+1, width] with the sample row above the slab at index 0 (a halo
     exchanged from the neighboring shard in the spatial-parallel engine).
     ``is_top`` (bool, may be traced) marks the slab holding the frame's
-    global top row.  Returns (sad, satd) in the flat strided layout.
+    global top row.  Returns (sad, satd, min_sad_had) in the flat strided
+    layout; with ``max_performance`` (the reference's MAX_PERFORMANCE_DIST,
+    main_aux_functions.h:1) sad/satd are None and only minSadHad is
+    assembled — the layout reorder is the costlier half of the epilogue.
     """
     # Gathers and SoA transposes are pure data movement: run them in int16
     # (10-bit samples) to halve the traffic.  Arithmetic stages cast up.
@@ -146,28 +150,42 @@ def compute_ext(frame, ref_ext, is_top, width: int, height: int):
     ref_pad = jnp.concatenate([ref_pad[:, :1], ref_pad], axis=1)
     sad_blocks: dict[int, jax.Array] = {}
     satd_blocks: dict[int, jax.Array] = {}
+    msh_blocks: dict[int, jax.Array] = {}
     for cplan in class_plans(width, height):
         sad, satd = _class_costs(frame_pad, ref_pad, is_top, cplan)
         # Split the class CU axis back per group (static lattice sizes) and
         # reorder each from lattice order to the reference CTU layout.
+        if max_performance:
+            msh = jnp.minimum(2 * sad, satd)  # cheap in SoA layout
         off = 0
         for gp in cplan.groups:
             n = gp.n_rows * gp.n_cols
-            sad_blocks[gp.group_index] = gp.lattice_costs_to_ctu(
-                sad[:, off:off + n])
-            satd_blocks[gp.group_index] = gp.lattice_costs_to_ctu(
-                satd[:, off:off + n])
+            if max_performance:
+                msh_blocks[gp.group_index] = gp.lattice_costs_to_ctu(
+                    msh[:, off:off + n])
+            else:
+                sad_blocks[gp.group_index] = gp.lattice_costs_to_ctu(
+                    sad[:, off:off + n])
+                satd_blocks[gp.group_index] = gp.lattice_costs_to_ctu(
+                    satd[:, off:off + n])
             off += n
-    return _flatten_strided(sad_blocks), _flatten_strided(satd_blocks)
+    if max_performance:
+        return None, None, _flatten_strided(msh_blocks)
+    sad_flat = _flatten_strided(sad_blocks)
+    satd_flat = _flatten_strided(satd_blocks)
+    return sad_flat, satd_flat, jnp.minimum(2 * sad_flat, satd_flat)
 
 
-def _compute(frame, ref, width: int, height: int) -> FrameCosts:
+def _compute(frame, ref, width: int, height: int,
+             max_performance: bool = False) -> FrameCosts:
     ref_ext = jnp.concatenate([ref[:1], ref], axis=0)  # dummy halo row
-    sad_flat, satd_flat = compute_ext(frame, ref_ext, True, width, height)
+    sad_flat, satd_flat, msh_flat = compute_ext(
+        frame, ref_ext, True, width, height,
+        max_performance=max_performance)
     return FrameCosts(
         sad=sad_flat,
         satd=satd_flat,
-        min_sad_had=jnp.minimum(2 * sad_flat, satd_flat),
+        min_sad_had=msh_flat,
         valid=jnp.asarray(_validity_mask(width, height)),
     )
 
@@ -198,14 +216,19 @@ class MipCostEngine:
     >>> costs = engine(frame, filtered_frame)    # alternative-sample regime
     """
 
-    def __init__(self, width: int, height: int):
+    def __init__(self, width: int, height: int,
+                 max_performance: bool = False):
+        """``max_performance`` mirrors the reference's MAX_PERFORMANCE_DIST
+        (main_aux_functions.h:1): only minSadHad is assembled and
+        FrameCosts.sad/satd are None — ~2x less cost-layout work."""
         if width % 4 or height % 4:
             raise ValueError("frame dimensions must be multiples of 4")
         self.width = width
         self.height = height
         self.n_ctus = num_ctus(width, height)[2]
         self._fn = jax.jit(
-            functools.partial(_compute, width=width, height=height))
+            functools.partial(_compute, width=width, height=height,
+                              max_performance=max_performance))
 
     def __call__(self, frame, ref_frame=None) -> FrameCosts:
         """frame: [H, W] integer luma samples (10-bit).  ref_frame: the

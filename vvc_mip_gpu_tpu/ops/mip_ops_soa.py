@@ -165,23 +165,35 @@ import functools as _functools
 
 @_functools.cache
 def _wing_matrices(size_id: int):
-    """([M*S, C] normal, [M*S, C] transposed) f32 weight matrices.
+    """([M*S, C] normal, [M*S, C] transposed) bf16 weight matrices.
 
     The transposed wing's output-sample permutation (the r x r grid
     transposition, reference: intra.cl:485-539) is baked into its row
-    order so both wings are plain matmuls with fusable epilogues."""
+    order so both wings are plain matmuls with fusable epilogues.
+    bf16 storage is exact: the weights are 8-bit (<= 255 <= 2^8, within
+    bf16's 8 significand bits)."""
     import numpy as np
+
+    import ml_dtypes
 
     r = REDUCED_PRED_SIZE[size_id]
     mat = mip_weights.padded_matrix(size_id)  # [M, S, C]
     m, s, c = mat.shape
     perm = np.arange(s).reshape(r, r).T.ravel()
-    return (mat.reshape(m * s, c).astype(np.float32),
-            mat[:, perm, :].reshape(m * s, c).astype(np.float32))
+    return (mat.reshape(m * s, c).astype(ml_dtypes.bfloat16),
+            mat[:, perm, :].reshape(m * s, c).astype(ml_dtypes.bfloat16))
 
 
 def _wing_prediction(mat_rows, b_first, b_second, size_id: int):
-    """One wing's all-mode prediction [M*S, nCU] int16."""
+    """One wing's all-mode prediction [M*S, nCU] int16.
+
+    The contraction runs on the MXU in bf16 at DEFAULT precision via a
+    two-limb split — exact by construction: off = 32*hi + lo with
+    |hi| <= 32 and 0 <= lo < 32, both (and the 8-bit weights) exactly
+    representable in bf16; every product <= 255*32 and every f32
+    accumulator <= 8*255*1023 < 2^24.  (f32 HIGHEST-precision dots were
+    ~3x slower; int32 dots don't reach the MXU at all.)
+    """
     bnd = jnp.concatenate([b_first, b_second], 0).astype(jnp.int32)
     first = bnd[:1]  # [1, nCU]
     row0 = (jnp.zeros_like(first) if size_id == 2
@@ -189,12 +201,13 @@ def _wing_prediction(mat_rows, b_first, b_second, size_id: int):
     off = jnp.concatenate([row0, bnd[1:] - first], 0)  # [C, nCU]
     offset_term = ((1 << (MIP_SHIFT_MATRIX - 1))
                    - MIP_OFFSET_MATRIX * off.sum(0))  # [nCU]
-    # The contraction runs in f32 on the MXU (int32 dots lower to VPU
-    # loops): exact, since |acc| <= 8 * 255 * 1023 < 2^24 — but ONLY at
-    # HIGHEST precision; the TPU default truncates f32 operands to bf16.
-    acc = jax.lax.dot(jnp.asarray(mat_rows), off.astype(jnp.float32),
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    mat = jnp.asarray(mat_rows)
+    hi = (off >> 5).astype(jnp.bfloat16)
+    lo = (off & 31).astype(jnp.bfloat16)
+    acc = (jax.lax.dot(mat, hi, preferred_element_type=jnp.float32)
+           .astype(jnp.int32) * 32
+           + jax.lax.dot(mat, lo, preferred_element_type=jnp.float32)
+           .astype(jnp.int32))
     pred = ((acc + offset_term[None]) >> MIP_SHIFT_MATRIX) + first
     return jnp.clip(pred, 0, SAMPLE_MAX).astype(jnp.int16)
 

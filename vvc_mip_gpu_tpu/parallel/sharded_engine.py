@@ -66,7 +66,9 @@ def _local_costs(frame, ref, width: int, local_height: int):
 
     def one(fr, re, hl):
         ref_ext = jnp.concatenate([hl[None, :], re], axis=0)
-        return compute_ext(fr, ref_ext, is_top, width, local_height)
+        sad, satd, msh = compute_ext(fr, ref_ext, is_top, width,
+                                     local_height)
+        return sad, satd
 
     sad, satd = jax.vmap(one)(frame, ref, halo)
     return sad, satd
