@@ -14,6 +14,7 @@ GPU estimate for the same workload) so the ratio is comparable across rounds.
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -34,6 +35,23 @@ def main() -> None:
     import functools
 
     from vvc_mip_gpu_tpu.models.cost_engine import _compute
+
+    # The headline metric stays fixed at 1080p x batch 8 (first JSON line);
+    # --resolution/--batch mirror the reference harness's 4K sweep
+    # (powerTracer_NVIDIA.py:33-80) for side measurements.
+    global W, H, BATCH
+    p = argparse.ArgumentParser()
+    p.add_argument("--resolution", default=None,
+                   help="WxH (default 1920x1080; e.g. 3840x2160)")
+    p.add_argument("--batch", type=int, default=None)
+    args = p.parse_args()
+    metric = "mip_search_1080p_frames_per_second"
+    if args.resolution:
+        w, h = args.resolution.lower().split("x")
+        W, H = int(w), int(h)
+        metric = f"mip_search_{args.resolution}_frames_per_second"
+    if args.batch:
+        BATCH = args.batch
 
     rng = np.random.default_rng(0)
     frames = jax.device_put(jnp.asarray(
@@ -64,7 +82,7 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / (ITERS * BATCH)
     fps = 1.0 / dt
     print(json.dumps({
-        "metric": "mip_search_1080p_frames_per_second",
+        "metric": metric,
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / ASSUMED_BASELINE_FPS, 3),

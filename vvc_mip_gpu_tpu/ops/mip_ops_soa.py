@@ -180,19 +180,28 @@ def _wing_matrices(size_id: int):
     mat = mip_weights.padded_matrix(size_id)  # [M, S, C]
     m, s, c = mat.shape
     perm = np.arange(s).reshape(r, r).T.ravel()
-    return (mat.reshape(m * s, c).astype(ml_dtypes.bfloat16),
-            mat[:, perm, :].reshape(m * s, c).astype(ml_dtypes.bfloat16))
+
+    def limbed(mm):
+        # [M*S, 2C]: columns [32*w | w] pair with the stacked [hi; lo]
+        # offset limbs, folding the two-limb contraction into ONE matmul.
+        # 32*w stays exact in bf16 (a power-of-two scale of 8-bit weights).
+        flat = mm.reshape(m * s, c)
+        return np.concatenate([32 * flat, flat],
+                              axis=1).astype(ml_dtypes.bfloat16)
+
+    return limbed(mat), limbed(mat[:, perm, :])
 
 
 def _wing_prediction(mat_rows, b_first, b_second, size_id: int):
     """One wing's all-mode prediction [M*S, nCU] int16.
 
     The contraction runs on the MXU in bf16 at DEFAULT precision via a
-    two-limb split — exact by construction: off = 32*hi + lo with
-    |hi| <= 32 and 0 <= lo < 32, both (and the 8-bit weights) exactly
-    representable in bf16; every product <= 255*32 and every f32
-    accumulator <= 8*255*1023 < 2^24.  (f32 HIGHEST-precision dots were
-    ~3x slower; int32 dots don't reach the MXU at all.)
+    two-limb split folded into one matmul: off = 32*hi + lo with
+    |hi| <= 32 and 0 <= lo < 32, both (and the weights and their 32x
+    power-of-two scale) exactly representable in bf16, contracted against
+    [32*w | w]; every product <= 255*32*32 and every f32 accumulator
+    <= 8*255*1023 < 2^24, so the result is exact.  (f32 HIGHEST-precision
+    dots were ~3x slower; int32 dots don't reach the MXU at all.)
     """
     bnd = jnp.concatenate([b_first, b_second], 0).astype(jnp.int32)
     first = bnd[:1]  # [1, nCU]
@@ -201,13 +210,10 @@ def _wing_prediction(mat_rows, b_first, b_second, size_id: int):
     off = jnp.concatenate([row0, bnd[1:] - first], 0)  # [C, nCU]
     offset_term = ((1 << (MIP_SHIFT_MATRIX - 1))
                    - MIP_OFFSET_MATRIX * off.sum(0))  # [nCU]
-    mat = jnp.asarray(mat_rows)
-    hi = (off >> 5).astype(jnp.bfloat16)
-    lo = (off & 31).astype(jnp.bfloat16)
-    acc = (jax.lax.dot(mat, hi, preferred_element_type=jnp.float32)
-           .astype(jnp.int32) * 32
-           + jax.lax.dot(mat, lo, preferred_element_type=jnp.float32)
-           .astype(jnp.int32))
+    mat = jnp.asarray(mat_rows)  # [M*S, 2C]: [32*w | w]
+    limbs = jnp.concatenate([off >> 5, off & 31], 0).astype(jnp.bfloat16)
+    acc = jax.lax.dot(mat, limbs,
+                      preferred_element_type=jnp.float32).astype(jnp.int32)
     pred = ((acc + offset_term[None]) >> MIP_SHIFT_MATRIX) + first
     return jnp.clip(pred, 0, SAMPLE_MAX).astype(jnp.int16)
 
