@@ -42,3 +42,19 @@ def test_sharded_matches_single(single_costs, n_data, n_space):
         # Sharded validity must imply single-device validity on true CTUs.
         sv = np.asarray(got.valid)[:n_true_ctus]
         np.testing.assert_array_equal(sv, valid)
+
+
+def test_sharded_max_performance(single_costs):
+    if jax.device_count() < 4:
+        pytest.skip("not enough devices")
+    mesh = make_mesh(2, 2)
+    eng = ShardedMipCostEngine(W, H, mesh, max_performance=True)
+    got = eng(FRAMES)
+    assert got.sad is None and got.satd is None
+    n_true_ctus = single_costs[0].min_sad_had.shape[0]
+    for b in range(B):
+        ref = single_costs[b]
+        valid = np.asarray(ref.valid)
+        a = np.asarray(got.min_sad_had)[b, :n_true_ctus]
+        mism = (np.asarray(ref.min_sad_had) != a) & valid
+        assert not mism.any()

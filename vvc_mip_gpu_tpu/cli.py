@@ -119,7 +119,8 @@ def run(cfg: EngineConfig, synthetic: bool = False,
         from vvc_mip_gpu_tpu.parallel import ShardedMipCostEngine, make_mesh
 
         mesh = make_mesh(cfg.mesh_data, cfg.mesh_space)
-        engine = ShardedMipCostEngine(cfg.width, cfg.height, mesh)
+        engine = ShardedMipCostEngine(cfg.width, cfg.height, mesh,
+                                      max_performance=cfg.max_performance)
         with timer.stage("ENQUEUE KERNELS"):
             costs = engine(frames.astype(np.int32),
                            None if ref_frames is None

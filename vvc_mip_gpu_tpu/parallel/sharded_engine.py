@@ -55,7 +55,8 @@ def _validity_mask_np(width: int, true_height: int, padded_height: int):
     return out
 
 
-def _local_costs(frame, ref, width: int, local_height: int):
+def _local_costs(frame, ref, width: int, local_height: int,
+                 max_performance: bool = False):
     """Per-shard computation: halo exchange then the dense cost pipeline."""
     # Send each band's last reference row to the band below (ring shift).
     n_space = jax.lax.axis_size("space")
@@ -67,11 +68,11 @@ def _local_costs(frame, ref, width: int, local_height: int):
     def one(fr, re, hl):
         ref_ext = jnp.concatenate([hl[None, :], re], axis=0)
         sad, satd, msh = compute_ext(fr, ref_ext, is_top, width,
-                                     local_height)
-        return sad, satd
+                                     local_height,
+                                     max_performance=max_performance)
+        return (msh,) if max_performance else (sad, satd, msh)
 
-    sad, satd = jax.vmap(one)(frame, ref, halo)
-    return sad, satd
+    return jax.vmap(one)(frame, ref, halo)
 
 
 class ShardedMipCostEngine:
@@ -82,7 +83,11 @@ class ShardedMipCostEngine:
     >>> costs = engine(frames)   # frames: [B, H, W], B % n_data == 0
     """
 
-    def __init__(self, width: int, height: int, mesh: Mesh):
+    def __init__(self, width: int, height: int, mesh: Mesh,
+                 max_performance: bool = False):
+        """``max_performance`` mirrors the reference's MAX_PERFORMANCE_DIST:
+        only minSadHad is assembled/gathered; FrameCosts.sad/satd are None
+        (2/3 less output collective traffic)."""
         self.width = width
         self.height = height
         self.mesh = mesh
@@ -93,18 +98,24 @@ class ShardedMipCostEngine:
         self.n_ctus = num_ctus(width, self.padded_height)[2]
 
         local = functools.partial(
-            _local_costs, width=width, local_height=self.local_height)
+            _local_costs, width=width, local_height=self.local_height,
+            max_performance=max_performance)
+        n_out = 1 if max_performance else 3
         sharded = shard_map(
             local, mesh=mesh,
             in_specs=(P("data", "space", None), P("data", "space", None)),
-            out_specs=(P("data", "space", None), P("data", "space", None)),
+            out_specs=(P("data", "space", None),) * n_out,
         )
 
         def fn(frames, refs):
-            sad, satd = sharded(frames, refs)
+            if max_performance:
+                (msh,) = sharded(frames, refs)
+                sad = satd = None
+            else:
+                sad, satd, msh = sharded(frames, refs)
             return FrameCosts(
                 sad=sad, satd=satd,
-                min_sad_had=jnp.minimum(2 * sad, satd),
+                min_sad_had=msh,
                 valid=jnp.asarray(_validity_mask_np(
                     width, height, self.padded_height)),
             )
