@@ -9,6 +9,8 @@ the window, energy = avg power x window length
 import sys
 from pathlib import Path
 
+import numpy as np
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 import compute_energy as ce  # noqa: E402
@@ -62,3 +64,22 @@ def test_analyze_active_window_and_stages():
     # windows: mean(10,30)*1 + mean(40)*1 = 20 + 40
     assert st["ENQUEUE KERNELS"]["energy_j"] == 60.0
     assert st["READ DISTORTION"]["energy_j"] == 120.0  # mean(50,70)*2
+
+
+def test_banded_cpu_filter_matches_whole_frame():
+    # The CPU-profiler's band decomposition (halo rows per band) must be
+    # bit-identical to the whole-frame golden filter across seam positions.
+    import profile_cpu_filtering as pcf
+
+    from vvc_mip_gpu_tpu.golden import filters_golden as fg
+
+    frame = np.random.default_rng(5).integers(
+        0, 1024, size=(96, 128)).astype(np.int64)
+    for ft in ("filterFrame_2d_int_quarterCtu",
+               "filterFrame_2d_float_5x5_quarterCtu",
+               "filterFrame_1d_int",
+               "filterFrame_1d_float_5x5"):
+        ref = fg.filter_frame(frame, ft, 0)
+        for n in (2, 3, 7):
+            np.testing.assert_array_equal(
+                pcf.filter_banded(frame, ft, 0, n), ref, err_msg=f"{ft}/{n}")
