@@ -120,7 +120,13 @@ def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, sad_ref, satd_ref, *,
             bsatd.sum((0, 1), dtype=jnp.int32).reshape(1, c))
         return 0
 
-    jax.lax.fori_loop(0, two_m, mode_body, 0)
+    if h * w <= 64:
+        # Small classes: per-iteration work is tiny, so unroll statically —
+        # bigger basic blocks for the Mosaic scheduler, no loop overhead.
+        for m in range(two_m):
+            mode_body(m, 0)
+    else:
+        jax.lax.fori_loop(0, two_m, mode_body, 0)
 
 @functools.partial(jax.jit,
                    static_argnames=("h", "w", "r", "cu_tile", "interpret"))
