@@ -66,37 +66,38 @@ def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, sad_ref, satd_ref, *,
     og = orig_ref[...].astype(jnp.int32).reshape(h, w, c)
     if up_h > 1:
         lead = refl_ref[...].astype(jnp.int32).reshape(r, 1, c)
-        oh = (jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
-              % up_h + 1)
     if up_v > 1:
         top = reft_ref[...].astype(jnp.int32).reshape(1, w, c)
-        ov = (jax.lax.broadcasted_iota(jnp.int32, (h, 1, 1), 0)
-              % up_v + 1)
+
+    def _interp_axis(base, delta, up: int, axis: int):
+        """Strength-reduced linear interpolation along a new phase axis:
+        out_o = (base*up + o*delta + rnd) >> log2 computed incrementally
+        (one add + one shift per output instead of shift+mul+2 adds)."""
+        log2 = up.bit_length() - 1
+        t = (base << log2) + (1 << (log2 - 1))
+        phases = []
+        for _ in range(up):
+            t = t + delta
+            phases.append(t >> log2)
+        return jnp.stack(phases, axis=axis)
 
     def mode_body(m, _):
         p3 = (pred_ref[pl.ds(m, 1)].astype(jnp.int32).reshape(r, r, c))
         # ---- horizontal upsample (anchor rows).  Delta form:
-        # (up-o)*before + o*after == (before << log2) + o*(after-before),
-        # with the subtract done on the small pre-repeat anchor grid.
+        # (up-o)*before + o*after == base*up + o*(after-base).
         if up_h == 1:
             anch = p3
         else:
             base = jnp.concatenate([lead, p3[:, :-1, :]], axis=1)
-            delta = p3 - base
-            log2 = up_h.bit_length() - 1
-            anch = ((jnp.repeat(base, up_h, axis=1) << log2)
-                    + oh * jnp.repeat(delta, up_h, axis=1)
-                    + (1 << (log2 - 1))) >> log2
+            anch = _interp_axis(base, p3 - base, up_h,
+                                axis=2).reshape(r, w, c)
         # ---- vertical upsample (all rows)
         if up_v == 1:
             up = anch
         else:
             base = jnp.concatenate([top, anch[:-1, :, :]], axis=0)
-            delta = anch - base
-            log2 = up_v.bit_length() - 1
-            up = ((jnp.repeat(base, up_v, axis=0) << log2)
-                  + ov * jnp.repeat(delta, up_v, axis=0)
-                  + (1 << (log2 - 1))) >> log2
+            up = _interp_axis(base, anch - base, up_v,
+                              axis=1).reshape(h, w, c)
         # ---- SAD
         diff = og - up
         sad_ref[pl.ds(m, 1), :] = (
