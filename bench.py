@@ -90,4 +90,13 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # The remote-TPU relay occasionally throws transient backend errors
+    # (FAILED_PRECONDITION); one retry must not cost the benchmark run.
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(10)

@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--TargetCTU", type=int, default=None,
                    help="Print the distortion table of this CTU "
                         "(reference reportDistortionOnlyTarget)")
+    p.add_argument("--Resume", action="store_true",
+                   help="Skip frames whose decisions CSV already exists "
+                        "(checkpoint/resume for long multi-frame runs)")
     # Kept for command-line compatibility with the reference; device
     # selection is JAX's job on TPU.
     p.add_argument("--DeviceIndex", type=int, default=0,
@@ -84,9 +87,10 @@ def _config_from_args(args) -> EngineConfig:
 
 
 def run(cfg: EngineConfig, synthetic: bool = False,
-        target_ctu: int | None = None) -> int:
+        target_ctu: int | None = None, resume: bool = False) -> int:
     from vvc_mip_gpu_tpu.io import export, frames as fio
 
+    _enable_compilation_cache()
     timer = StageTimer(trace_power=cfg.trace_power)
     if cfg.trace_power:
         print_timestamp("STARTED HOST")
@@ -164,7 +168,12 @@ def run(cfg: EngineConfig, synthetic: bool = False,
                                   sad=None if sad is None else sad,
                                   satd=None if satd is None else satd)
 
+        import os
+
         for f in range(cfg.n_frames):
+            if resume and os.path.exists(_out_path(cfg, f)):
+                print(f"skipping frame {f} (exists: {_out_path(cfg, f)})")
+                continue
             with timer.stage("ENQUEUE KERNELS"):
                 costs = engine(
                     frames[f].astype(np.int32),
@@ -181,9 +190,30 @@ def run(cfg: EngineConfig, synthetic: bool = False,
     return 0
 
 
-def _export_frame(cfg, export, msh, sad, satd, poc):
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across runs (~20-40 s saved per warm
+    start); the reference pays its clBuildProgram JIT on every run."""
+    import os
+
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("VVC_MIP_CACHE_DIR",
+                           os.path.expanduser("~/.cache/vvc_mip_tpu_xla")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax or read-only home: run uncached
+
+
+def _out_path(cfg, poc) -> str:
     suffix = f"_poc{poc}" if cfg.n_frames > 1 else ""
-    out = f"{cfg.output_prefix}mip_decisions{suffix}.csv"
+    return f"{cfg.output_prefix}mip_decisions{suffix}.csv"
+
+
+def _export_frame(cfg, export, msh, sad, satd, poc):
+    out = _out_path(cfg, poc)
     export.export_decisions_csv(
         out, msh, cfg.width, sad=sad, satd=satd,
         poc=poc if cfg.n_frames > 1 else None)
@@ -193,7 +223,8 @@ def _export_frame(cfg, export, msh, sad, satd, poc):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = _config_from_args(args)
-    return run(cfg, synthetic=args.Synthetic, target_ctu=args.TargetCTU)
+    return run(cfg, synthetic=args.Synthetic, target_ctu=args.TargetCTU,
+               resume=args.Resume)
 
 
 if __name__ == "__main__":
