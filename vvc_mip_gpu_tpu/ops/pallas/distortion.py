@@ -52,65 +52,148 @@ def _hadamard4(parts):
     return s0 + s1, s0 - s1, d0 - d1, d0 + d1
 
 
+def _mod4_major(n: int) -> np.ndarray:
+    """Canonical %4-grouped order: position (i, b) holds old index 4b+i."""
+    if n <= 4:
+        return np.arange(n)
+    return np.concatenate([np.arange(i, n, 4) for i in range(4)])
+
+
+def _anchor_perm(r: int, up: int) -> np.ndarray:
+    """Anchor-axis permutation so the interpolation below emits outputs
+    directly in %4-grouped order: %4-major when the axis is not upsampled,
+    parity-major for 2x upsampling, untouched otherwise."""
+    if up == 1:
+        return _mod4_major(r)
+    if up == 2:
+        return np.concatenate([np.arange(0, r, 2), np.arange(1, r, 2)])
+    return np.arange(r)
+
+
+def input_perms(h: int, w: int, r: int):
+    """(pred_sample_perm, refl_perm, reft_perm, orig_perm) — static
+    permutations the wrapper applies so the kernel sees %4-group-friendly
+    layouts (fused into the producing copies by XLA, effectively free)."""
+    up_h, up_v = w // r, h // r
+    row_a = _anchor_perm(r, up_v)
+    col_a = _anchor_perm(r, up_h)
+    pred_perm = (row_a[:, None] * r + col_a[None, :]).ravel()
+    row4 = _mod4_major(h)
+    col4 = _mod4_major(w)
+    orig_perm = (row4[:, None] * w + col4[None, :]).ravel()
+    return pred_perm, row_a, col4, orig_perm
+
+
 def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, sad_ref, satd_ref, *,
             h: int, w: int, r: int, two_m: int):
     # One CU tile per grid step; a fori_loop over the 2M modes amortizes
     # the per-step overhead (a mode-per-grid-step variant measured ~2x
     # slower on small classes).  int16 is storage-only: the v5e VPU has no
-    # i16 arithmetic (Mosaic rejects i16 shifts/subtracts), so compute runs
-    # in int32 after the VMEM loads; inputs stay int16 in HBM to halve DMA
-    # traffic.  Everything mode-invariant is hoisted out of the loop.
+    # i16 arithmetic, so compute runs in int32 after the VMEM loads.
+    #
+    # %4-grouped layout: inputs arrive permuted (input_perms) and the
+    # upsampler emits output ROWS grouped by y%4 and COLUMNS by x%4, so the
+    # SATD butterflies consume contiguous full-sublane-width planes instead
+    # of strided in-block slices (measured ~1.7x faster SATD).  The
+    # interpolation exploits that phase o == up reproduces the anchor
+    # exactly and that 2x interpolation is a rounded average.
     up_h = w // r
     up_v = h // r
     c = pred_ref.shape[-1]
-    og = orig_ref[...].astype(jnp.int32).reshape(h, w, c)
+    # orig rows arrive y%4-grouped, columns x%4-grouped
+    og4 = orig_ref[...].astype(jnp.int32).reshape(4, h // 4, w, c)
     if up_h > 1:
         lead = refl_ref[...].astype(jnp.int32).reshape(r, 1, c)
     if up_v > 1:
         top = reft_ref[...].astype(jnp.int32).reshape(1, w, c)
 
-    def _interp_axis(base, delta, up: int, axis: int):
-        """Strength-reduced linear interpolation along a new phase axis:
-        out_o = (base*up + o*delta + rnd) >> log2 computed incrementally
-        (one add + one shift per output instead of shift+mul+2 adds)."""
+    def _phases(base, anchors, up: int):
+        """Interpolation phases o = 1..up-1 (o == up is the anchor)."""
         log2 = up.bit_length() - 1
+        delta = anchors - base
         t = (base << log2) + (1 << (log2 - 1))
-        phases = []
-        for _ in range(up):
+        out = []
+        for _ in range(up - 1):
             t = t + delta
-            phases.append(t >> log2)
-        return jnp.stack(phases, axis=axis)
+            out.append(t >> log2)
+        return out
 
-    def mode_body(m, _):
-        p3 = (pred_ref[pl.ds(m, 1)].astype(jnp.int32).reshape(r, r, c))
-        # ---- horizontal upsample (anchor rows).  Delta form:
-        # (up-o)*before + o*after == base*up + o*(after-base).
+    def horizontal(p3):
+        """[r, r, c] anchors -> [r, w, c] with columns x%4-grouped."""
         if up_h == 1:
-            anch = p3
-        else:
-            base = jnp.concatenate([lead, p3[:, :-1, :]], axis=1)
-            anch = _interp_axis(base, p3 - base, up_h,
-                                axis=2).reshape(r, w, c)
-        # ---- vertical upsample (all rows)
+            return p3  # columns pre-permuted %4-major
+        if up_h == 2:
+            half = r // 2  # columns pre-permuted parity-major [E | O]
+            ev, od = p3[:, :half], p3[:, half:]
+            base_e = jnp.concatenate([lead, od[:, :-1]], axis=1)
+            return jnp.concatenate(
+                [(base_e + ev + 1) >> 1, ev, (ev + od + 1) >> 1, od], axis=1)
+        base = jnp.concatenate([lead, p3[:, :-1]], axis=1)
+        ph = _phases(base, p3, up_h)
+        if up_h == 4:
+            return jnp.concatenate([ph[0], ph[1], ph[2], p3], axis=1)
+        ph.append(p3)  # up_h == 8: x%4 = (o-1)%4, x//4 = 2a + (o-1)//4
+        groups = [jnp.stack([ph[j], ph[j + 4]], axis=2).reshape(r, 2 * r, c)
+                  for j in range(4)]
+        return jnp.concatenate(groups, axis=1)
+
+    def vertical(anch):
+        """[r, w, c] anchor rows -> 4 y%4-group planes [h//4, w, c]."""
         if up_v == 1:
-            up = anch
-        else:
-            base = jnp.concatenate([top, anch[:-1, :, :]], axis=0)
-            up = _interp_axis(base, anch - base, up_v,
-                              axis=1).reshape(h, w, c)
-        # ---- SAD
-        diff = og - up
+            return list(anch.reshape(4, h // 4, w, c))
+        if up_v == 2:
+            half = r // 2  # rows pre-permuted parity-major [E | O]
+            ev, od = anch[:half], anch[half:]
+            base_e = jnp.concatenate([top, od[:-1]], axis=0)
+            return [(base_e + ev + 1) >> 1, ev, (ev + od + 1) >> 1, od]
+        base = jnp.concatenate([top, anch[:-1]], axis=0)
+        ph = _phases(base, anch, up_v)
+        if up_v == 4:
+            return [ph[0], ph[1], ph[2], anch]
+        ph.append(anch)  # up_v == 8
+        return [jnp.stack([ph[i], ph[i + 4]], axis=1).reshape(h // 4, w, c)
+                for i in range(4)]
+
+    def mode_body_4x4(m, _):
+        # SizeId0: a single 4x4 block, no upsampling — keep the samples
+        # merged on sublanes ([16, c]) instead of four [1, 4, c] slivers.
+        p = pred_ref[pl.ds(m, 1)].astype(jnp.int32).reshape(r * r, c)
+        diff = og4.reshape(r * r, c) - p
         sad_ref[pl.ds(m, 1), :] = (
-            jnp.abs(diff).sum((0, 1), dtype=jnp.int32).reshape(1, c))
-        # ---- SATD: two-sided 4x4 Hadamard butterflies per block,
-        # accumulating |t| inline to keep the VMEM working set small.
-        blk = diff.reshape(h // 4, 4, w // 4, 4, c)
-        v = _hadamard4([blk[:, i] for i in range(4)])  # over in-block rows
+            jnp.abs(diff).sum(0, dtype=jnp.int32).reshape(1, c))
+        rows = diff.reshape(4, 4, c)
+        v = _hadamard4([rows[i] for i in range(4)])
         acc = None
         dc = None
         for ky, t in enumerate(v):
             for kx, out in enumerate(_hadamard4(
-                    [t[:, :, j] for j in range(4)])):
+                    [t[j] for j in range(4)])):
+                a = jnp.abs(out)  # [c]
+                acc = a if acc is None else acc + a
+                if ky == 0 and kx == 0:
+                    dc = a
+        bsatd = (acc - dc + (dc >> 2) + 1) >> 1
+        satd_ref[pl.ds(m, 1), :] = bsatd.reshape(1, c)
+        return 0
+
+    def mode_body(m, _):
+        p3 = (pred_ref[pl.ds(m, 1)].astype(jnp.int32).reshape(r, r, c))
+        d = vertical(horizontal(p3))
+        sad = None
+        for i in range(4):
+            d[i] = og4[i] - d[i]
+            s = jnp.abs(d[i]).sum((0, 1), dtype=jnp.int32)
+            sad = s if sad is None else sad + s
+        sad_ref[pl.ds(m, 1), :] = sad.reshape(1, c)
+        # ---- SATD: the four y%4-group planes ARE the row-stage butterfly
+        # inputs; the column stage slices x%4 groups from an outer dim.
+        v = _hadamard4(d)
+        acc = None
+        dc = None
+        for ky, t in enumerate(v):
+            t4 = t.reshape(h // 4, 4, w // 4, c)
+            for kx, out in enumerate(_hadamard4(
+                    [t4[:, j] for j in range(4)])):
                 a = jnp.abs(out)  # [h/4, w/4, c]
                 acc = a if acc is None else acc + a
                 if ky == 0 and kx == 0:
@@ -121,13 +204,14 @@ def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, sad_ref, satd_ref, *,
             bsatd.sum((0, 1), dtype=jnp.int32).reshape(1, c))
         return 0
 
+    body = mode_body_4x4 if h * w <= 16 else mode_body
     if h * w <= 64:
         # Small classes: per-iteration work is tiny, so unroll statically —
         # bigger basic blocks for the Mosaic scheduler, no loop overhead.
         for m in range(two_m):
-            mode_body(m, 0)
+            body(m, 0)
     else:
-        jax.lax.fori_loop(0, two_m, mode_body, 0)
+        jax.lax.fori_loop(0, two_m, body, 0)
 
 @functools.partial(jax.jit,
                    static_argnames=("h", "w", "r", "cu_tile", "interpret"))
@@ -147,6 +231,13 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
     tile = cu_tile or default_cu_tile(h, w)
     assert n_cu % tile == 0, (n_cu, tile)
     grid = (n_cu // tile,)
+    # Static %4-group permutations (see _kernel); XLA fuses these takes
+    # into the copies that produce the inputs.
+    pred_perm, refl_perm, reft_perm, orig_perm = input_perms(h, w, r)
+    pred = pred[:, pred_perm, :]
+    refl_anchor = refl_anchor[refl_perm, :]
+    ref_t = ref_t[reft_perm, :]
+    orig = orig[orig_perm, :]
     kernel = functools.partial(_kernel, h=h, w=w, r=r, two_m=two_m)
     return pl.pallas_call(
         kernel,
