@@ -84,6 +84,29 @@ def input_perms(h: int, w: int, r: int):
     return pred_perm, row_a, col4, orig_perm
 
 
+def _kernel_sid0(pred_ref, orig_ref, sad_ref, satd_ref, *, two_m: int):
+    """SizeId0 (4x4, no upsampling): the mode axis rides the SUBLANES.
+
+    pred arrives transposed to [16, 2M, tile]; all 2M modes process in one
+    shot with every op on full-width (2M, lane) tiles — no mode loop, no
+    skinny 4-sublane planes (measured ~3x faster than the looped form for
+    this class)."""
+    c = pred_ref.shape[-1]
+    og = orig_ref[...].astype(jnp.int32).reshape(16, 1, c)
+    d = og - pred_ref[...].astype(jnp.int32)  # [16, 2M, c]
+    sad_ref[...] = jnp.abs(d).sum(0, dtype=jnp.int32)  # [2M, c]
+    d4 = d.reshape(4, 4, two_m, c)
+    acc = None
+    dc = None
+    for ky, t in enumerate(_hadamard4([d4[i] for i in range(4)])):
+        for kx, out in enumerate(_hadamard4([t[j] for j in range(4)])):
+            a = jnp.abs(out)  # [2M, c]
+            acc = a if acc is None else acc + a
+            if ky == 0 and kx == 0:
+                dc = a
+    satd_ref[...] = (acc - dc + (dc >> 2) + 1) >> 1
+
+
 def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, sad_ref, satd_ref, *,
             h: int, w: int, r: int, two_m: int):
     # One CU tile per grid step; a fori_loop over the 2M modes amortizes
@@ -231,6 +254,32 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
     tile = cu_tile or default_cu_tile(h, w)
     assert n_cu % tile == 0, (n_cu, tile)
     grid = (n_cu // tile,)
+
+    if h == 4 and w == 4:
+        # SizeId0: mode-on-sublanes kernel; pred transposed in XLA (fused
+        # into its producing copy).
+        return pl.pallas_call(
+            functools.partial(_kernel_sid0, two_m=two_m),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((s, two_m, tile), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((h * w, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((two_m, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((two_m, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((two_m, n_cu), jnp.int32),
+                jax.ShapeDtypeStruct((two_m, n_cu), jnp.int32),
+            ],
+            interpret=interpret,
+        )(jnp.swapaxes(pred, 0, 1), orig)
+
     # Static %4-group permutations (see _kernel); XLA fuses these takes
     # into the copies that produce the inputs.
     pred_perm, refl_perm, reft_perm, orig_perm = input_perms(h, w, r)
