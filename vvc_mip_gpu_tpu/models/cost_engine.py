@@ -90,18 +90,11 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
         # the contraction depth (4/8) wastes the MXU in-kernel and the
         # VPU pays ~1 ms/class recomputing it per CU tile.
         from vvc_mip_gpu_tpu.ops.pallas.distortion import (
-            default_cu_tile, upsample_distortion)
+            upsample_distortion)
 
-        n_cu = pred.shape[-1]
-        tile = default_cu_tile(h, w)
-        pad = (-n_cu) % tile
         up_v = h // r
-        args = [pred, orig, ref_t, ref_l[up_v - 1::up_v]]
-        if pad:
-            args = [jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
-                    for a in args]
-        sad, satd = upsample_distortion(*args, h=h, w=w, r=r, cu_tile=tile)
-        return sad[:, :n_cu], satd[:, :n_cu]
+        return upsample_distortion(pred, orig, ref_t, ref_l[up_v - 1::up_v],
+                                   h=h, w=w, r=r)
 
     if shape.size_id > 0:
         pred = soa.upsample_all(pred, ref_t, ref_l, w, h, r)
