@@ -108,7 +108,7 @@ def _kernel_sid0(pred_ref, orig_ref, sad_ref, satd_ref, *, two_m: int):
 
 
 def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, sad_ref, satd_ref, *,
-            h: int, w: int, r: int, two_m: int, g_modes: int = 1):
+            h: int, w: int, r: int, two_m: int):
     # One CU tile per grid step; a fori_loop over the 2M modes amortizes
     # the per-step overhead (a mode-per-grid-step variant measured ~2x
     # slower on small classes).  int16 is storage-only: the v5e VPU has no
@@ -123,18 +123,12 @@ def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, sad_ref, satd_ref, *,
     up_h = w // r
     up_v = h // r
     c = pred_ref.shape[-1]
-    g = g_modes  # modes packed along the column axis (up_h == 1 only)
     # orig rows arrive y%4-grouped, columns x%4-grouped
     og4 = orig_ref[...].astype(jnp.int32).reshape(4, h // 4, w, c)
-    if g > 1:
-        # duplicate each original column per packed mode: columns (x, g)
-        og4 = jnp.repeat(og4, g, axis=2)
     if up_h > 1:
         lead = refl_ref[...].astype(jnp.int32).reshape(r, 1, c)
     if up_v > 1:
         top = reft_ref[...].astype(jnp.int32).reshape(1, w, c)
-        if g > 1:
-            top = jnp.repeat(top, g, axis=1)
 
     def _phases(base, anchors, up: int):
         """Interpolation phases o = 1..up-1 (o == up is the anchor)."""
@@ -234,37 +228,7 @@ def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, sad_ref, satd_ref, *,
             bsatd.sum((0, 1), dtype=jnp.int32).reshape(1, c))
         return 0
 
-    def mode_body_grouped(gi, _):
-        # g modes packed on the column axis: pred arrives pre-arranged as
-        # [2M/g, r*(w*g), nCU] with samples ordered (row, col, mode).
-        p3 = (pred_ref[pl.ds(gi, 1)].astype(jnp.int32)
-              .reshape(r, w * g, c))
-        d = vertical(p3)  # up_h == 1: columns are (x %4-major, mode)
-        sad = None
-        for i in range(4):
-            d[i] = og4[i] - d[i]
-            s = jnp.abs(d[i]).sum(0, dtype=jnp.int32)  # [w*g, c]
-            sad = s if sad is None else sad + s
-        sad_ref[pl.ds(gi * g, g), :] = sad.reshape(w, g, c).sum(0)
-        v = _hadamard4(d)
-        acc = None
-        dc = None
-        for ky, t in enumerate(v):
-            t4 = t.reshape(h // 4, 4, (w // 4) * g, c)
-            for kx, out in enumerate(_hadamard4(
-                    [t4[:, j] for j in range(4)])):
-                a = jnp.abs(out)  # [h/4, (w/4)*g, c]
-                acc = a if acc is None else acc + a
-                if ky == 0 and kx == 0:
-                    dc = a
-        bsatd = (acc - dc + (dc >> 2) + 1) >> 1
-        satd_ref[pl.ds(gi * g, g), :] = (
-            bsatd.sum(0, dtype=jnp.int32).reshape(w // 4, g, c).sum(0))
-        return 0
-
-    if g > 1:
-        body, n_iter = mode_body_grouped, two_m // g
-    elif h * w <= 16:
+    if h * w <= 16:
         body, n_iter = mode_body_4x4, two_m
     else:
         body, n_iter = mode_body, two_m
@@ -292,12 +256,11 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
     """
     two_m, s, n_in = pred.shape
     sid0 = h == 4 and w == 4
-    # Mode-packing along the column axis (g > 1) was tried for the w == r
-    # classes and measured SLOWER (the duplicated original samples and
+    # NOTE: packing G modes along the column axis of the w == r classes
+    # was tried and measured SLOWER (duplicated original samples and
     # smaller CU tiles outweigh the wider planes); only SizeId0 keeps the
     # mode-on-sublanes form, via its dedicated kernel.
-    g = 1
-    tile = cu_tile or default_cu_tile(h, w * g)
+    tile = cu_tile or default_cu_tile(h, w)
     pad = (-n_in) % tile
     if pad:
         pred, orig, ref_t, refl_anchor = (
@@ -339,16 +302,8 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
     refl_anchor = refl_anchor[refl_perm, :]
     ref_t = ref_t[reft_perm, :]
     orig = orig[orig_perm, :]
-    if g > 1:
-        pred = (pred.reshape(two_m // g, g, r, w, n_cu)
-                .transpose(0, 2, 3, 1, 4)
-                .reshape(two_m // g, s * g, n_cu))
-        pred_block = (two_m // g, s * g, tile)
-    else:
-        pred_block = (two_m, s, tile)
-
-    kernel = functools.partial(_kernel, h=h, w=w, r=r, two_m=two_m,
-                               g_modes=g)
+    pred_block = (two_m, s, tile)
+    kernel = functools.partial(_kernel, h=h, w=w, r=r, two_m=two_m)
     sad, satd = pl.pallas_call(
         kernel,
         grid=grid,
