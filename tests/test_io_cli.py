@@ -77,3 +77,45 @@ def test_cli_only_filter(tmp_path):
         fio.synthetic_frames(1, 64, 64)[0].astype(np.int64),
         "filterFrame_2d_int_quarterCtu", 2)
     np.testing.assert_array_equal(filtered[0].astype(np.int64), exp)
+
+
+def test_cli_resume_skips_existing(tmp_path, capsys):
+    from vvc_mip_gpu_tpu import cli
+
+    args = ["-f", "2", "-s", "128x128", "--Synthetic",
+            "-l", str(tmp_path / "r_")]
+    assert cli.main(args) == 0
+    first = [pd.read_csv(tmp_path / f"r_mip_decisions_poc{f}.csv")
+             for f in range(2)]
+    capsys.readouterr()
+    assert cli.main(args + ["--Resume"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("skipping frame") == 2
+    for f in range(2):  # outputs untouched
+        pd.testing.assert_frame_equal(
+            pd.read_csv(tmp_path / f"r_mip_decisions_poc{f}.csv"), first[f])
+
+
+def test_cli_sharded_mesh_and_resume(tmp_path, capsys):
+    import jax
+    import pytest
+
+    if jax.device_count() < 4:
+        pytest.skip("not enough devices")
+    from vvc_mip_gpu_tpu import cli
+
+    args = ["-f", "2", "-s", "128x256", "--Synthetic",
+            "--MeshData", "2", "--MeshSpace", "2",
+            "-l", str(tmp_path / "m_")]
+    assert cli.main(args) == 0
+    # Sharded output must equal the single-device CLI's output.
+    assert cli.main(["-f", "2", "-s", "128x256", "--Synthetic",
+                     "-l", str(tmp_path / "s_")]) == 0
+    for f in range(2):
+        m = pd.read_csv(tmp_path / f"m_mip_decisions_poc{f}.csv")
+        s = pd.read_csv(tmp_path / f"s_mip_decisions_poc{f}.csv")
+        np.testing.assert_array_equal(m.minSadHad.to_numpy(),
+                                      s.minSadHad.to_numpy())
+    capsys.readouterr()
+    assert cli.main(args + ["--Resume"]) == 0
+    assert "nothing to do" in capsys.readouterr().out

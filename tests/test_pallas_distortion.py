@@ -13,10 +13,14 @@ RNG = np.random.default_rng(5)
 
 
 @pytest.mark.parametrize("h,w,r,two_m", [
-    (8, 8, 4, 16),    # SizeId1 square
+    (8, 8, 4, 16),    # SizeId1 square (up 2x2)
     (4, 16, 4, 16),   # SizeId1 wide, up_v == 1
     (16, 4, 4, 16),   # SizeId1 tall, up_h == 1
-    (16, 16, 8, 12),  # SizeId2
+    (16, 16, 8, 12),  # SizeId2 (up 2x2)
+    (64, 64, 8, 12),  # SizeId2: up_h == up_v == 8 (phase interleave)
+    (32, 4, 4, 16),   # SizeId1: up_v == 8, up_h == 1
+    (4, 32, 4, 16),   # SizeId1: up_h == 8, up_v == 1
+    (16, 32, 8, 12),  # SizeId2: up_h == 4, up_v == 2
     (4, 4, 4, 32),    # SizeId0: no upsampling at all
 ])
 def test_pallas_matches_soa(h, w, r, two_m):

@@ -2,9 +2,12 @@
 
 Not part of the library API: a development harness for finding where frame
 time goes.  The axon relay adds ~8-30 ms per Python-level dispatch/sync, so
-every measured computation is repeated K and 2K times *inside one jit* via
-lax.fori_loop; the time difference divided by K cancels all constant
-dispatch overhead and yields pure device time.
+every measured computation is repeated K times *inside one jit* via
+lax.fori_loop (inputs xor-perturbed per iteration so repetitions cannot be
+CSE'd), timed as the min over several syncs, minus a measured
+trivial-dispatch baseline.  This cancels the dispatch/sync round-trip but
+NOT the fori_loop carry overhead, so per-stage numbers can be slightly
+overstated; use them as ratios, not absolutes.
 """
 
 from __future__ import annotations
@@ -32,7 +35,8 @@ def _sync(out):
 
 
 def device_ms(body, x0):
-    """Pure device ms of body(x) via K-vs-2K in-jit repetition.
+    """Approximate device ms of body(x): K in-jit repetitions, min-of-runs,
+    minus the trivial-dispatch baseline (see module docstring for caveats).
 
     body: x (int array) -> scalar-reducible pytree.  The loop xors the input
     with the iteration index so repetitions cannot be CSE'd away.

@@ -118,10 +118,19 @@ def run(cfg: EngineConfig, synthetic: bool = False,
             return 0
 
     if cfg.mesh_data * cfg.mesh_space > 1:
+        import os
+
         import jax
 
         from vvc_mip_gpu_tpu.parallel import ShardedMipCostEngine, make_mesh
 
+        if resume and all(os.path.exists(_out_path(cfg, f))
+                          for f in range(cfg.n_frames)):
+            # The sharded path computes the whole batch in one dispatch, so
+            # resume granularity is all-or-nothing: skip only when every
+            # frame's decisions CSV already exists.
+            print(f"all {cfg.n_frames} decision logs exist; nothing to do")
+            return 0
         mesh = make_mesh(cfg.mesh_data, cfg.mesh_space)
         engine = ShardedMipCostEngine(cfg.width, cfg.height, mesh,
                                       max_performance=cfg.max_performance)
@@ -137,6 +146,9 @@ def run(cfg: EngineConfig, synthetic: bool = False,
                 sad = np.asarray(costs.sad)
                 satd = np.asarray(costs.satd)
         for f in range(cfg.n_frames):
+            if resume and os.path.exists(_out_path(cfg, f)):
+                print(f"skipping frame {f} export (exists)")
+                continue
             _export_frame(cfg, export, msh[f],
                           None if sad is None else sad[f],
                           None if satd is None else satd[f], poc=f)

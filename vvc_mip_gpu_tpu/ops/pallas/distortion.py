@@ -178,28 +178,6 @@ def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, sad_ref, satd_ref, *,
         return [jnp.stack([ph[i], ph[i + 4]], axis=1).reshape(h // 4, wk, c)
                 for i in range(4)]
 
-    def mode_body_4x4(m, _):
-        # SizeId0: a single 4x4 block, no upsampling — keep the samples
-        # merged on sublanes ([16, c]) instead of four [1, 4, c] slivers.
-        p = pred_ref[pl.ds(m, 1)].astype(jnp.int32).reshape(r * r, c)
-        diff = og4.reshape(r * r, c) - p
-        sad_ref[pl.ds(m, 1), :] = (
-            jnp.abs(diff).sum(0, dtype=jnp.int32).reshape(1, c))
-        rows = diff.reshape(4, 4, c)
-        v = _hadamard4([rows[i] for i in range(4)])
-        acc = None
-        dc = None
-        for ky, t in enumerate(v):
-            for kx, out in enumerate(_hadamard4(
-                    [t[j] for j in range(4)])):
-                a = jnp.abs(out)  # [c]
-                acc = a if acc is None else acc + a
-                if ky == 0 and kx == 0:
-                    dc = a
-        bsatd = (acc - dc + (dc >> 2) + 1) >> 1
-        satd_ref[pl.ds(m, 1), :] = bsatd.reshape(1, c)
-        return 0
-
     def mode_body(m, _):
         p3 = (pred_ref[pl.ds(m, 1)].astype(jnp.int32).reshape(r, r, c))
         d = vertical(horizontal(p3))
@@ -228,10 +206,7 @@ def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, sad_ref, satd_ref, *,
             bsatd.sum((0, 1), dtype=jnp.int32).reshape(1, c))
         return 0
 
-    if h * w <= 16:
-        body, n_iter = mode_body_4x4, two_m
-    else:
-        body, n_iter = mode_body, two_m
+    body, n_iter = mode_body, two_m  # (4x4 routes to _kernel_sid0 instead)
     if n_iter <= 4 or h * w <= 64:
         # Few/tiny iterations: unroll statically for bigger Mosaic basic
         # blocks, no loop overhead.
