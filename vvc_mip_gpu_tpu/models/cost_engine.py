@@ -68,24 +68,39 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
     shape = cplan.shape
     w, h = shape.width, shape.height
     r = shape.reduced_pred_size
+    if use_pallas is None:
+        use_pallas = _use_pallas()
+    if use_pallas:
+        # The kernel's %4-grouped sample permutations are folded upstream
+        # where they are free: baked into the prediction weight rows and
+        # into the original-sample gather transpose (a standalone permute
+        # pass over the 0.5 GB/frame prediction tensor costs real time).
+        from vvc_mip_gpu_tpu.ops.pallas.distortion import (
+            _mod4_major, input_perms)
+
+        pred_perm = tuple(int(v) for v in input_perms(h, w, r)[0])
+        row_perm, col_perm = _mod4_major(h), _mod4_major(w)
+    else:
+        pred_perm = None
+        row_perm = col_perm = None
     ref_t_parts, ref_l_parts, orig_parts = [], [], []
     for gp in cplan.groups:
         rt, rl = soa.gather_boundaries(ref_ext, gp, is_top)
         ref_t_parts.append(rt)
         ref_l_parts.append(rl)
-        orig_parts.append(soa.gather_originals(frame, gp))
+        orig_parts.append(soa.gather_originals(frame, gp, row_perm,
+                                               col_perm))
     ref_t = jnp.concatenate(ref_t_parts, axis=-1)  # [w, nCU]
     ref_l = jnp.concatenate(ref_l_parts, axis=-1)  # [h, nCU]
     orig = jnp.concatenate(orig_parts, axis=-1)  # [h*w, nCU] raster
 
     red_t = soa.reduce_boundary(ref_t, shape.boundary_size)
     red_l = soa.reduce_boundary(ref_l, shape.boundary_size)
-    pred = soa.reduced_prediction_all_modes(red_t, red_l, shape.size_id)
+    pred = soa.reduced_prediction_all_modes(red_t, red_l, shape.size_id,
+                                            sample_perm=pred_perm)
 
-    if use_pallas is None:
-        use_pallas = _use_pallas()
     if use_pallas:
-        # The MIP matrix product stays in XLA (f32 MXU einsum above);
+        # The MIP matrix product stays in XLA (bf16 MXU matmuls above);
         # fusing it into the kernel was tried and measured ~2x slower —
         # the contraction depth (4/8) wastes the MXU in-kernel and the
         # VPU pays ~1 ms/class recomputing it per CU tile.
@@ -94,7 +109,7 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
 
         up_v = h // r
         return upsample_distortion(pred, orig, ref_t, ref_l[up_v - 1::up_v],
-                                   h=h, w=w, r=r)
+                                   h=h, w=w, r=r, inputs_permuted=True)
 
     if shape.size_id > 0:
         pred = soa.upsample_all(pred, ref_t, ref_l, w, h, r)

@@ -135,8 +135,11 @@ def gather_boundaries(ref_pad, plan: GroupPlan, is_top):
     return ref_t, ref_l
 
 
-def gather_originals(frame_pad, plan: GroupPlan):
-    """Original CU samples in SoA layout: [h*w, nCU], sample axis raster.
+def gather_originals(frame_pad, plan: GroupPlan,
+                     row_perm=None, col_perm=None):
+    """Original CU samples in SoA layout: [h*w, nCU], sample axis raster
+    (rows/columns optionally reordered by static perms, folded into the
+    SoA transpose copy).
 
     ``frame_pad``: [Hp, Wp] distortion-target frame, edge-replication
     padded to the `padded_extent`.
@@ -145,6 +148,10 @@ def gather_originals(frame_pad, plan: GroupPlan):
     rows = _row_blocks(frame_pad, plan.y_prog, plan.ys, plan.n_rows, h)
     tile = _col_blocks(rows, plan.x_prog, plan.xs, plan.n_cols, w)
     tile = jnp.moveaxis(tile, (1, 3), (0, 1))  # [h, w, n_rows, n_cols]
+    if row_perm is not None:
+        tile = tile[np.asarray(row_perm)]
+    if col_perm is not None:
+        tile = tile[:, np.asarray(col_perm)]
     return tile.reshape(h * w, plan.n_rows * plan.n_cols)
 
 
@@ -164,12 +171,15 @@ import functools as _functools
 
 
 @_functools.cache
-def _wing_matrices(size_id: int):
+def _wing_matrices(size_id: int, sample_perm: tuple | None = None):
     """([M*S, C] normal, [M*S, C] transposed) bf16 weight matrices.
 
     The transposed wing's output-sample permutation (the r x r grid
     transposition, reference: intra.cl:485-539) is baked into its row
-    order so both wings are plain matmuls with fusable epilogues.
+    order so both wings are plain matmuls with fusable epilogues; an
+    optional extra ``sample_perm`` (e.g. the distortion kernel's
+    %4-grouped sample order) is baked the same way, making the permuted
+    prediction FREE instead of a post-matmul gather pass.
     bf16 storage is exact: the weights are 8-bit (<= 255 <= 2^8, within
     bf16's 8 significand bits)."""
     import numpy as np
@@ -179,17 +189,19 @@ def _wing_matrices(size_id: int):
     r = REDUCED_PRED_SIZE[size_id]
     mat = mip_weights.padded_matrix(size_id)  # [M, S, C]
     m, s, c = mat.shape
-    perm = np.arange(s).reshape(r, r).T.ravel()
+    tperm = np.arange(s).reshape(r, r).T.ravel()
+    extra = (np.arange(s) if sample_perm is None
+             else np.asarray(sample_perm, np.int64))
 
     def limbed(mm):
         # [M*S, 2C]: columns [32*w | w] pair with the stacked [hi; lo]
         # offset limbs, folding the two-limb contraction into ONE matmul.
         # 32*w stays exact in bf16 (a power-of-two scale of 8-bit weights).
-        flat = mm.reshape(m * s, c)
+        flat = mm[:, extra, :].reshape(m * s, c)
         return np.concatenate([32 * flat, flat],
                               axis=1).astype(ml_dtypes.bfloat16)
 
-    return limbed(mat), limbed(mat[:, perm, :])
+    return limbed(mat), limbed(mat[:, tperm, :])
 
 
 def _wing_prediction(mat_rows, b_first, b_second, size_id: int):
@@ -218,12 +230,14 @@ def _wing_prediction(mat_rows, b_first, b_second, size_id: int):
     return jnp.clip(pred, 0, SAMPLE_MAX).astype(jnp.int16)
 
 
-def reduced_prediction_all_modes(red_t, red_l, size_id: int):
-    """All-mode reduced prediction [2M, S, nCU] int16 (S = R*R raster);
+def reduced_prediction_all_modes(red_t, red_l, size_id: int,
+                                 sample_perm: tuple | None = None):
+    """All-mode reduced prediction [2M, S, nCU] int16 (S = R*R raster,
+    optionally reordered by ``sample_perm`` baked into the weights);
     modes 0..M-1 are the normal wing, M..2M-1 the transposed wing."""
     r = REDUCED_PRED_SIZE[size_id]
     m = PRED_MODES[size_id]
-    mat_n, mat_t = _wing_matrices(size_id)
+    mat_n, mat_t = _wing_matrices(size_id, sample_perm)
     pred_n = _wing_prediction(mat_n, red_t, red_l, size_id)
     pred_t = _wing_prediction(mat_t, red_l, red_t, size_id)
     n = pred_n.shape[-1]

@@ -215,10 +215,11 @@ def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, sad_ref, satd_ref, *,
     else:
         jax.lax.fori_loop(0, n_iter, body, 0)
 
-@functools.partial(jax.jit,
-                   static_argnames=("h", "w", "r", "cu_tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "h", "w", "r", "cu_tile", "interpret", "inputs_permuted"))
 def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
-                        cu_tile=None, interpret=False):
+                        cu_tile=None, interpret=False,
+                        inputs_permuted=False):
     """Fused upsample+SAD+SATD for one class.
 
     pred: [2M, R*R, nCU] int16 reduced predictions (raster sample order).
@@ -226,6 +227,10 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
     ref_t: [w, nCU] int16 complete top boundaries.
     refl_anchor: [R, nCU] int16 left-boundary anchor samples
         (ref_l[up_v-1::up_v]).
+    ``inputs_permuted``: pred and orig already carry the %4-grouped sample
+    order of `input_perms` (bake pred's into the weight matrices and fold
+    orig's into the gather transpose — both free there, vs a standalone
+    gather pass here).
     Returns (sad, satd): [2M, nCU] int32 each.  Inputs are padded to the
     CU tile internally; outputs are sliced back to nCU.
     """
@@ -270,13 +275,14 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
         )(jnp.swapaxes(pred, 0, 1), orig)
         return sad[:, :n_in], satd[:, :n_in]
 
-    # Static %4-group permutations (see _kernel); XLA fuses these takes
-    # into the copies that produce the inputs.
+    # Static %4-group permutations (see _kernel); applied here unless the
+    # caller already folded them upstream (inputs_permuted).
     pred_perm, refl_perm, reft_perm, orig_perm = input_perms(h, w, r)
-    pred = pred[:, pred_perm, :]
+    if not inputs_permuted:
+        pred = pred[:, pred_perm, :]
+        orig = orig[orig_perm, :]
     refl_anchor = refl_anchor[refl_perm, :]
     ref_t = ref_t[reft_perm, :]
-    orig = orig[orig_perm, :]
     pred_block = (two_m, s, tile)
     kernel = functools.partial(_kernel, h=h, w=w, r=r, two_m=two_m)
     sad, satd = pl.pallas_call(
