@@ -96,8 +96,10 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
 
     red_t = soa.reduce_boundary(ref_t, shape.boundary_size)
     red_l = soa.reduce_boundary(ref_l, shape.boundary_size)
+    mode_minor = use_pallas and shape.size_id == 0
     pred = soa.reduced_prediction_all_modes(red_t, red_l, shape.size_id,
-                                            sample_perm=pred_perm)
+                                            sample_perm=pred_perm,
+                                            mode_minor=mode_minor)
 
     if use_pallas:
         # The MIP matrix product stays in XLA (bf16 MXU matmuls above);
@@ -109,7 +111,8 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
 
         up_v = h // r
         return upsample_distortion(pred, orig, ref_t, ref_l[up_v - 1::up_v],
-                                   h=h, w=w, r=r, inputs_permuted=True)
+                                   h=h, w=w, r=r, inputs_permuted=True,
+                                   pred_mode_minor=mode_minor)
 
     if shape.size_id > 0:
         pred = soa.upsample_all(pred, ref_t, ref_l, w, h, r)

@@ -171,7 +171,8 @@ import functools as _functools
 
 
 @_functools.cache
-def _wing_matrices(size_id: int, sample_perm: tuple | None = None):
+def _wing_matrices(size_id: int, sample_perm: tuple | None = None,
+                   mode_minor: bool = False):
     """([M*S, C] normal, [M*S, C] transposed) bf16 weight matrices.
 
     The transposed wing's output-sample permutation (the r x r grid
@@ -197,7 +198,10 @@ def _wing_matrices(size_id: int, sample_perm: tuple | None = None):
         # [M*S, 2C]: columns [32*w | w] pair with the stacked [hi; lo]
         # offset limbs, folding the two-limb contraction into ONE matmul.
         # 32*w stays exact in bf16 (a power-of-two scale of 8-bit weights).
-        flat = mm[:, extra, :].reshape(m * s, c)
+        mm = mm[:, extra, :]
+        if mode_minor:  # rows (s, m) instead of (m, s)
+            mm = mm.transpose(1, 0, 2)
+        flat = mm.reshape(m * s, c)
         return np.concatenate([32 * flat, flat],
                               axis=1).astype(ml_dtypes.bfloat16)
 
@@ -231,16 +235,23 @@ def _wing_prediction(mat_rows, b_first, b_second, size_id: int):
 
 
 def reduced_prediction_all_modes(red_t, red_l, size_id: int,
-                                 sample_perm: tuple | None = None):
-    """All-mode reduced prediction [2M, S, nCU] int16 (S = R*R raster,
-    optionally reordered by ``sample_perm`` baked into the weights);
-    modes 0..M-1 are the normal wing, M..2M-1 the transposed wing."""
+                                 sample_perm: tuple | None = None,
+                                 mode_minor: bool = False):
+    """All-mode reduced prediction, int16; modes 0..M-1 are the normal
+    wing, M..2M-1 the transposed wing.  Shape [2M, S, nCU] (S = R*R
+    raster, optionally reordered by ``sample_perm`` baked into the
+    weights), or [S, 2M, nCU] with ``mode_minor`` (the layout the SizeId0
+    kernel wants — baked into the weight row order, no transpose op)."""
     r = REDUCED_PRED_SIZE[size_id]
     m = PRED_MODES[size_id]
-    mat_n, mat_t = _wing_matrices(size_id, sample_perm)
+    mat_n, mat_t = _wing_matrices(size_id, sample_perm, mode_minor)
     pred_n = _wing_prediction(mat_n, red_t, red_l, size_id)
     pred_t = _wing_prediction(mat_t, red_l, red_t, size_id)
     n = pred_n.shape[-1]
+    if mode_minor:
+        return jnp.concatenate(
+            [pred_n.reshape(r * r, m, n), pred_t.reshape(r * r, m, n)],
+            axis=1)
     return jnp.concatenate([pred_n, pred_t]).reshape(2 * m, r * r, n)
 
 

@@ -216,10 +216,11 @@ def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, sad_ref, satd_ref, *,
         jax.lax.fori_loop(0, n_iter, body, 0)
 
 @functools.partial(jax.jit, static_argnames=(
-    "h", "w", "r", "cu_tile", "interpret", "inputs_permuted"))
+    "h", "w", "r", "cu_tile", "interpret", "inputs_permuted",
+    "pred_mode_minor"))
 def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
                         cu_tile=None, interpret=False,
-                        inputs_permuted=False):
+                        inputs_permuted=False, pred_mode_minor=False):
     """Fused upsample+SAD+SATD for one class.
 
     pred: [2M, R*R, nCU] int16 reduced predictions (raster sample order).
@@ -234,8 +235,12 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
     Returns (sad, satd): [2M, nCU] int32 each.  Inputs are padded to the
     CU tile internally; outputs are sliced back to nCU.
     """
-    two_m, s, n_in = pred.shape
     sid0 = h == 4 and w == 4
+    if pred_mode_minor:
+        assert sid0, "mode-minor pred layout is a SizeId0 option"
+        s, two_m, n_in = pred.shape
+    else:
+        two_m, s, n_in = pred.shape
     # NOTE: packing G modes along the column axis of the w == r classes
     # was tried and measured SLOWER (duplicated original samples and
     # smaller CU tiles outweigh the wider planes); only SizeId0 keeps the
@@ -272,7 +277,7 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
                 jax.ShapeDtypeStruct((two_m, n_cu), jnp.int32),
             ],
             interpret=interpret,
-        )(jnp.swapaxes(pred, 0, 1), orig)
+        )(pred if pred_mode_minor else jnp.swapaxes(pred, 0, 1), orig)
         return sad[:, :n_in], satd[:, :n_in]
 
     # Static %4-group permutations (see _kernel); applied here unless the
