@@ -97,22 +97,32 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
     red_t = soa.reduce_boundary(ref_t, shape.boundary_size)
     red_l = soa.reduce_boundary(ref_l, shape.boundary_size)
     mode_minor = use_pallas and shape.size_id == 0
-    pred = soa.reduced_prediction_all_modes(red_t, red_l, shape.size_id,
-                                            sample_perm=pred_perm,
-                                            mode_minor=mode_minor)
 
     if use_pallas:
-        # The MIP matrix product stays in XLA (bf16 MXU matmuls above);
-        # fusing it into the kernel was tried and measured ~2x slower —
-        # the contraction depth (4/8) wastes the MXU in-kernel and the
-        # VPU pays ~1 ms/class recomputing it per CU tile.
+        # The prediction matmul runs as its own Pallas kernel (one bf16
+        # MXU dot per CU tile with the int16 epilogue fused in VMEM) —
+        # the XLA dot materializes the f32 product and the wing concat,
+        # ~7x the HBM traffic.  Fusing it into the DISTORTION kernel was
+        # tried and measured ~2x slower (the contraction stalls the VPU
+        # pipeline per mode); a standalone kernel keeps both hot.  The
+        # pred CU axis stays tile-padded end-to-end: same cu_tile here
+        # and below, so no repad copy in between.
+        from vvc_mip_gpu_tpu.ops.pallas import pred as pallas_pred
         from vvc_mip_gpu_tpu.ops.pallas.distortion import (
-            upsample_distortion)
+            default_cu_tile, upsample_distortion)
 
+        tile = default_cu_tile(h, w)
+        pred = pallas_pred.reduced_prediction(
+            red_t, red_l, shape.size_id, sample_perm=pred_perm,
+            mode_minor=mode_minor, cu_tile=tile)
         up_v = h // r
         return upsample_distortion(pred, orig, ref_t, ref_l[up_v - 1::up_v],
-                                   h=h, w=w, r=r, inputs_permuted=True,
+                                   h=h, w=w, r=r, cu_tile=tile,
+                                   inputs_permuted=True,
                                    pred_mode_minor=mode_minor)
+
+    pred = soa.reduced_prediction_all_modes(red_t, red_l, shape.size_id,
+                                            sample_perm=pred_perm)
 
     if shape.size_id > 0:
         pred = soa.upsample_all(pred, ref_t, ref_l, w, h, r)

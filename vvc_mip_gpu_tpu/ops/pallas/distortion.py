@@ -238,20 +238,28 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
     sid0 = h == 4 and w == 4
     if pred_mode_minor:
         assert sid0, "mode-minor pred layout is a SizeId0 option"
-        s, two_m, n_in = pred.shape
+        s, two_m, n_pred = pred.shape
     else:
-        two_m, s, n_in = pred.shape
+        two_m, s, n_pred = pred.shape
     # NOTE: packing G modes along the column axis of the w == r classes
     # was tried and measured SLOWER (duplicated original samples and
     # smaller CU tiles outweigh the wider planes); only SizeId0 keeps the
     # mode-on-sublanes form, via its dedicated kernel.
+    n_in = orig.shape[-1]
     tile = cu_tile or default_cu_tile(h, w)
     pad = (-n_in) % tile
-    if pad:
-        pred, orig, ref_t, refl_anchor = (
-            jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
-            for a in (pred, orig, ref_t, refl_anchor))
     n_cu = n_in + pad
+    if pad:
+        orig, ref_t, refl_anchor = (
+            jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+            for a in (orig, ref_t, refl_anchor))
+    if n_pred == n_in:
+        if pad:
+            pred = jnp.pad(pred, [(0, 0), (0, 0), (0, pad)])
+    elif n_pred != n_cu:
+        raise ValueError(
+            f"pred CU axis {n_pred} matches neither nCU {n_in} nor the "
+            f"tile-padded {n_cu}")
     grid = (n_cu // tile,)
 
     if sid0:
