@@ -44,3 +44,11 @@ def test_pallas_matches_soa(h, w, r, two_m):
         h=h, w=w, r=r, cu_tile=128, interpret=True)
     np.testing.assert_array_equal(np.asarray(got_sad), np.asarray(exp_sad))
     np.testing.assert_array_equal(np.asarray(got_satd), np.asarray(exp_satd))
+
+    # max-performance single-output regime: mode-minor min(2*SAD, SATD)
+    got_msh = upsample_distortion(
+        pred, orig.astype(jnp.int16), ref_t.astype(jnp.int16),
+        ref_l[up_v - 1::up_v].astype(jnp.int16),
+        h=h, w=w, r=r, cu_tile=128, interpret=True, emit="msh_t")
+    exp_msh = np.minimum(2 * np.asarray(exp_sad), np.asarray(exp_satd)).T
+    np.testing.assert_array_equal(np.asarray(got_msh), exp_msh)

@@ -46,3 +46,23 @@ def test_engine_bit_exact_on_tpu(tpu_backend):
         mism = (e != a) & valid
         assert not mism.any(), (
             f"{field}: {int(mism.sum())} TPU mismatches vs golden")
+
+
+def test_engine_max_performance_bit_exact_on_tpu(tpu_backend):
+    # The max-performance regime takes a different kernel epilogue
+    # (emit="msh_t": in-kernel min + transpose) and a different reorder.
+    from vvc_mip_gpu_tpu.golden import reference_model as gm
+    from vvc_mip_gpu_tpu.io import frames as fio
+    from vvc_mip_gpu_tpu.models.cost_engine import MipCostEngine
+
+    w, h = 416, 240
+    frame = fio.synthetic_frames(1, w, h)[0].astype(np.int64)
+    engine = MipCostEngine(w, h, max_performance=True)
+    got = engine(frame.astype(np.int32))
+    exp = gm.frame_costs(frame)
+    valid = np.asarray(got.valid)
+    e = gm.flatten_strided(exp, "min_sad_had")
+    a = np.asarray(got.min_sad_had, np.int64)
+    mism = (e != a) & valid
+    assert not mism.any(), (
+        f"min_sad_had: {int(mism.sum())} TPU mismatches vs golden")

@@ -57,8 +57,12 @@ def _use_pallas() -> bool:
 
 
 def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
-                 use_pallas: bool | None = None):
-    """Costs of one shape class in SoA lattice order: ([2M, nCU] sad, satd).
+                 use_pallas: bool | None = None,
+                 max_performance: bool = False):
+    """Costs of one shape class in SoA lattice order: ([2M, nCU] sad,
+    satd), or a single MODE-MINOR [nCU, 2M] min(2*SAD, SATD) with
+    ``max_performance`` (emitted directly by the Pallas kernel so the
+    CTU-layout reorder never moves the mode axis to minor).
 
     The CU axis concatenates every group's lattice-ordered CUs in group
     order; _compute splits it back per group and reorders.  On TPU the
@@ -70,11 +74,16 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
     r = shape.reduced_pred_size
     if use_pallas is None:
         use_pallas = _use_pallas()
-    if use_pallas:
-        # The kernel's %4-grouped sample permutations are folded upstream
-        # where they are free: baked into the prediction weight rows and
-        # into the original-sample gather transpose (a standalone permute
-        # pass over the 0.5 GB/frame prediction tensor costs real time).
+    # SizeId0/1 classes take the mode-on-sublanes kernels: raster sample
+    # order, mode-minor pred (baked into the weight rows), no
+    # permutations anywhere.
+    mode_minor = use_pallas and shape.size_id < 2
+    if use_pallas and not mode_minor:
+        # The grouped-layout kernel's %4 sample permutations are folded
+        # upstream where they are free: baked into the prediction weight
+        # rows and into the original-sample gather transpose (a standalone
+        # permute pass over the 0.5 GB/frame prediction tensor costs real
+        # time).
         from vvc_mip_gpu_tpu.ops.pallas.distortion import (
             _mod4_major, input_perms)
 
@@ -96,7 +105,6 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
 
     red_t = soa.reduce_boundary(ref_t, shape.boundary_size)
     red_l = soa.reduce_boundary(ref_l, shape.boundary_size)
-    mode_minor = use_pallas and shape.size_id == 0
 
     if use_pallas:
         # The prediction matmul runs as its own Pallas kernel (one bf16
@@ -119,14 +127,19 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
         return upsample_distortion(pred, orig, ref_t, ref_l[up_v - 1::up_v],
                                    h=h, w=w, r=r, cu_tile=tile,
                                    inputs_permuted=True,
-                                   pred_mode_minor=mode_minor)
+                                   pred_mode_minor=mode_minor,
+                                   emit="msh_t" if max_performance
+                                   else "sad_satd")
 
     pred = soa.reduced_prediction_all_modes(red_t, red_l, shape.size_id,
                                             sample_perm=pred_perm)
 
     if shape.size_id > 0:
         pred = soa.upsample_all(pred, ref_t, ref_l, w, h, r)
-    return soa.distortion(orig, pred, h, w)
+    sad, satd = soa.distortion(orig, pred, h, w)
+    if max_performance:
+        return jnp.minimum(2 * sad, satd).T
+    return sad, satd
 
 
 def _pad_edge(a, rows: int, cols: int):
@@ -173,18 +186,18 @@ def compute_ext(frame, ref_ext, is_top, width: int, height: int,
     satd_blocks: dict[int, jax.Array] = {}
     msh_blocks: dict[int, jax.Array] = {}
     for cplan in class_plans(width, height):
-        sad, satd = _class_costs(frame_pad, ref_pad, is_top, cplan)
+        costs = _class_costs(frame_pad, ref_pad, is_top, cplan,
+                             max_performance=max_performance)
         # Split the class CU axis back per group (static lattice sizes) and
         # reorder each from lattice order to the reference CTU layout.
-        if max_performance:
-            msh = jnp.minimum(2 * sad, satd)  # cheap in SoA layout
         off = 0
         for gp in cplan.groups:
             n = gp.n_rows * gp.n_cols
             if max_performance:
-                msh_blocks[gp.group_index] = gp.lattice_costs_to_ctu(
-                    msh[:, off:off + n])
+                msh_blocks[gp.group_index] = (
+                    gp.lattice_costs_to_ctu_mode_minor(costs[off:off + n]))
             else:
+                sad, satd = costs
                 sad_blocks[gp.group_index] = gp.lattice_costs_to_ctu(
                     sad[:, off:off + n])
                 satd_blocks[gp.group_index] = gp.lattice_costs_to_ctu(

@@ -108,6 +108,22 @@ class GroupPlan:
         return a.reshape(self.ctu_rows * self.ctu_cols,
                          self.cu_rows * self.cu_cols * two_m)
 
+    def lattice_costs_to_ctu_mode_minor(self, costs_t):
+        """Reorder MODE-MINOR cost block [n_rows*n_cols, 2M] (lattice
+        order; the distortion kernel's emit="msh_t" layout) into the same
+        reference layout [nCTU, cusPerCtu*2M].  Unlike the [2M, n] form
+        this never moves the mode axis to minor — the permutation only
+        swaps mid axes, which XLA copies in whole (cu_cols*2M)-element
+        runs instead of lane-crossing gathers."""
+        import jax.numpy as jnp
+
+        two_m = costs_t.shape[-1]
+        a = costs_t.reshape(self.ctu_rows, self.cu_rows, self.ctu_cols,
+                            self.cu_cols * two_m)
+        a = jnp.transpose(a, (0, 2, 1, 3))
+        return a.reshape(self.ctu_rows * self.ctu_cols,
+                         self.cu_rows * self.cu_cols * two_m)
+
     # The same permutation for jnp arrays (used inside jit).
     def to_ctu_layout_jnp(self, arr):
         import jax.numpy as jnp

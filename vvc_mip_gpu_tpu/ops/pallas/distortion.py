@@ -84,7 +84,7 @@ def input_perms(h: int, w: int, r: int):
     return pred_perm, row_a, col4, orig_perm
 
 
-def _kernel_sid0(pred_ref, orig_ref, sad_ref, satd_ref, *, two_m: int):
+def _kernel_sid0(pred_ref, orig_ref, *rest, two_m: int, emit: str):
     """SizeId0 (4x4, no upsampling): the mode axis rides the SUBLANES.
 
     pred arrives transposed to [16, 2M, tile]; all 2M modes process in one
@@ -94,7 +94,7 @@ def _kernel_sid0(pred_ref, orig_ref, sad_ref, satd_ref, *, two_m: int):
     c = pred_ref.shape[-1]
     og = orig_ref[...].astype(jnp.int32).reshape(16, 1, c)
     d = og - pred_ref[...].astype(jnp.int32)  # [16, 2M, c]
-    sad_ref[...] = jnp.abs(d).sum(0, dtype=jnp.int32)  # [2M, c]
+    sad = jnp.abs(d).sum(0, dtype=jnp.int32)  # [2M, c]
     d4 = d.reshape(4, 4, two_m, c)
     acc = None
     dc = None
@@ -104,11 +104,129 @@ def _kernel_sid0(pred_ref, orig_ref, sad_ref, satd_ref, *, two_m: int):
             acc = a if acc is None else acc + a
             if ky == 0 and kx == 0:
                 dc = a
-    satd_ref[...] = (acc - dc + (dc >> 2) + 1) >> 1
+    satd = (acc - dc + (dc >> 2) + 1) >> 1
+    if emit == "msh_t":
+        (msh_ref,) = rest
+        msh_ref[...] = jnp.transpose(jnp.minimum(2 * sad, satd), (1, 0))
+    else:
+        sad_ref, satd_ref = rest
+        sad_ref[...] = sad
+        satd_ref[...] = satd
 
 
-def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, sad_ref, satd_ref, *,
-            h: int, w: int, r: int, two_m: int):
+def _satd4x4_planes(d):
+    """VTM mean-scaled SATD of one 4x4 block given as 16 [2M, c] planes
+    d[dy][dx] (kernel_aux_functions.cl:142-249, same butterfly algebra as
+    the grouped-layout kernels)."""
+    t = [_hadamard4([d[0][j], d[1][j], d[2][j], d[3][j]]) for j in range(4)]
+    acc = None
+    dc = None
+    for ky in range(4):
+        for kx, out in enumerate(_hadamard4([t[j][ky] for j in range(4)])):
+            a = jnp.abs(out)
+            acc = a if acc is None else acc + a
+            if ky == 0 and kx == 0:
+                dc = a
+    return (acc - dc + (dc >> 2) + 1) >> 1
+
+
+def _kernel_mode_minor(pred_ref, orig_ref, reft_ref, refl_ref, *rest,
+                       h: int, w: int, r: int, two_m: int, emit: str):
+    """SizeId0/1 classes (r == 4): the mode axis rides the SUBLANES.
+
+    pred arrives mode-minor [S, 2M, tile] in RASTER sample order; every
+    reduced-prediction sample is a full-width [2M, tile] plane, so the
+    upsample interpolations, the SAD, and the SATD butterflies all run at
+    full sublane occupancy — the generalization of the SizeId0 kernel.
+    The grouped-layout kernel below runs these classes on r=4-sublane
+    slices (half the VPU idle); no %4 sample permutations are needed
+    here at all because planes are addressed statically.
+    """
+    if emit == "msh_t":
+        (msh_ref,) = rest
+        sad_ref = satd_ref = None
+    else:
+        sad_ref, satd_ref = rest
+    c = pred_ref.shape[-1]
+    up_h, up_v = w // r, h // r
+
+    def pred_plane(i):
+        return pred_ref[pl.ds(i, 1)].reshape(two_m, c).astype(jnp.int32)
+
+    def orig_plane(i):
+        return orig_ref[pl.ds(i, 1)].astype(jnp.int32)  # [1, c]
+
+    def interp(base, after, o, up):
+        """Phase o in 1..up between anchor planes (VVC linear rule,
+        intra.cl:815-895): ((up-o)*base + o*after + up/2) >> log2."""
+        if o == up:
+            return after
+        log2 = up.bit_length() - 1
+        return ((base << log2) + o * (after - base)
+                + (1 << (log2 - 1))) >> log2
+
+    anchors = [[pred_plane(k * r + j) for j in range(r)] for k in range(r)]
+    if up_h > 1:
+        # horizontal pass: anchor row k's phase-0 base is the left
+        # boundary sample at that row (refl_ref holds the r anchors)
+        lead = [refl_ref[pl.ds(k, 1)].astype(jnp.int32) for k in range(r)]
+    memo = {}
+
+    def hor(k, x):
+        """Horizontally upsampled anchor-row plane (lazy + memoized so
+        liveness tracks block consumption order, not w x r eagerness)."""
+        if up_h == 1:
+            return anchors[k][x]
+        if (k, x) not in memo:
+            j, o = x // up_h, x % up_h + 1
+            base = anchors[k][j - 1] if j else lead[k]
+            memo[(k, x)] = interp(base, anchors[k][j], o, up_h)
+        return memo[(k, x)]
+
+    if up_v == 1:
+        plane = hor
+    else:
+        # vertical pass: column x's base is the top boundary sample
+        top = [reft_ref[pl.ds(x, 1)].astype(jnp.int32) for x in range(w)]
+
+        def plane(y, x):
+            k, o = y // up_v, y % up_v + 1
+            base = hor(k - 1, x) if k else top[x]
+            return interp(base, hor(k, x), o, up_v)
+
+    sad = None
+    satd = None
+    for by in range(h // 4):
+        for bx in range(w // 4):
+            d = [[orig_plane((4 * by + dy) * w + 4 * bx + dx)
+                  - plane(4 * by + dy, 4 * bx + dx)
+                  for dx in range(4)] for dy in range(4)]
+            sad_b = None
+            for row in d:
+                for v in row:
+                    a = jnp.abs(v)
+                    sad_b = a if sad_b is None else sad_b + a
+            satd_b = _satd4x4_planes(d)
+            sad = sad_b if sad is None else sad + sad_b
+            satd = satd_b if satd is None else satd + satd_b
+
+    if emit == "msh_t":
+        msh_ref[...] = jnp.transpose(jnp.minimum(2 * sad, satd), (1, 0))
+    else:
+        sad_ref[...] = sad
+        satd_ref[...] = satd
+
+
+def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, *rest, h: int, w: int,
+            r: int, two_m: int, emit: str):
+    if emit == "msh_t":
+        # sad/satd land in VMEM scratch; the epilogue below emits
+        # min(2*SAD, SATD) transposed to [tile, 2M], so the engine's
+        # lattice->CTU reorder never moves the mode axis to minor (the
+        # expensive half of the old epilogue).
+        msh_ref, sad_ref, satd_ref = rest
+    else:
+        sad_ref, satd_ref = rest
     # One CU tile per grid step; a fori_loop over the 2M modes amortizes
     # the per-step overhead (a mode-per-grid-step variant measured ~2x
     # slower on small classes).  int16 is storage-only: the v5e VPU has no
@@ -214,13 +332,17 @@ def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, sad_ref, satd_ref, *,
             body(m, 0)
     else:
         jax.lax.fori_loop(0, n_iter, body, 0)
+    if emit == "msh_t":
+        msh_ref[...] = jnp.transpose(
+            jnp.minimum(2 * sad_ref[...], satd_ref[...]), (1, 0))
 
 @functools.partial(jax.jit, static_argnames=(
     "h", "w", "r", "cu_tile", "interpret", "inputs_permuted",
-    "pred_mode_minor"))
+    "pred_mode_minor", "emit"))
 def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
                         cu_tile=None, interpret=False,
-                        inputs_permuted=False, pred_mode_minor=False):
+                        inputs_permuted=False, pred_mode_minor=False,
+                        emit="sad_satd"):
     """Fused upsample+SAD+SATD for one class.
 
     pred: [2M, R*R, nCU] int16 reduced predictions (raster sample order).
@@ -232,12 +354,17 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
     order of `input_perms` (bake pred's into the weight matrices and fold
     orig's into the gather transpose — both free there, vs a standalone
     gather pass here).
-    Returns (sad, satd): [2M, nCU] int32 each.  Inputs are padded to the
-    CU tile internally; outputs are sliced back to nCU.
+    Returns (sad, satd): [2M, nCU] int32 each — or, with emit="msh_t",
+    a single [nCU, 2M] int32 min(2*SAD, SATD) in MODE-MINOR layout (the
+    reference's MAX_PERFORMANCE_DIST regime, main_aux_functions.h:1,
+    intra.cl:1122-1168: only minSadHad leaves the kernel).  Inputs are
+    padded to the CU tile internally; outputs are sliced back to nCU.
     """
     sid0 = h == 4 and w == 4
+    mode_minor = r == 4 and not sid0  # all SizeId1 classes
     if pred_mode_minor:
-        assert sid0, "mode-minor pred layout is a SizeId0 option"
+        assert sid0 or mode_minor, (
+            "mode-minor pred layout is a SizeId0/1 option")
         s, two_m, n_pred = pred.shape
     else:
         two_m, s, n_pred = pred.shape
@@ -262,11 +389,20 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
             f"tile-padded {n_cu}")
     grid = (n_cu // tile,)
 
+    if emit == "msh_t":
+        out_specs = [pl.BlockSpec((tile, two_m), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((n_cu, two_m), jnp.int32)]
+    else:
+        out_specs = [pl.BlockSpec((two_m, tile), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM)] * 2
+        out_shape = [jax.ShapeDtypeStruct((two_m, n_cu), jnp.int32)] * 2
+
     if sid0:
         # SizeId0: mode-on-sublanes kernel; pred transposed in XLA (fused
         # into its producing copy).
-        sad, satd = pl.pallas_call(
-            functools.partial(_kernel_sid0, two_m=two_m),
+        outs = pl.pallas_call(
+            functools.partial(_kernel_sid0, two_m=two_m, emit=emit),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((s, two_m, tile), lambda i: (0, 0, i),
@@ -274,19 +410,41 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
                 pl.BlockSpec((h * w, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=[
-                pl.BlockSpec((two_m, tile), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((two_m, tile), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((two_m, n_cu), jnp.int32),
-                jax.ShapeDtypeStruct((two_m, n_cu), jnp.int32),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
             interpret=interpret,
         )(pred if pred_mode_minor else jnp.swapaxes(pred, 0, 1), orig)
-        return sad[:, :n_in], satd[:, :n_in]
+        if emit == "msh_t":
+            return outs[0][:n_in]
+        return outs[0][:, :n_in], outs[1][:, :n_in]
+
+    if mode_minor:
+        # SizeId1 classes: mode-on-sublanes kernel, raster sample order
+        # (no %4 permutations); pred transposed in XLA unless it already
+        # arrives mode-minor from the Pallas prediction kernel.
+        kernel = functools.partial(_kernel_mode_minor, h=h, w=w, r=r,
+                                   two_m=two_m, emit=emit)
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((s, two_m, tile), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((h * w, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((w, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((refl_anchor.shape[0], tile),
+                             lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(pred if pred_mode_minor else jnp.swapaxes(pred, 0, 1),
+          orig, ref_t, refl_anchor)
+        if emit == "msh_t":
+            return outs[0][:n_in]
+        return outs[0][:, :n_in], outs[1][:, :n_in]
 
     # Static %4-group permutations (see _kernel); applied here unless the
     # caller already folded them upstream (inputs_permuted).
@@ -297,8 +455,9 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
     refl_anchor = refl_anchor[refl_perm, :]
     ref_t = ref_t[reft_perm, :]
     pred_block = (two_m, s, tile)
-    kernel = functools.partial(_kernel, h=h, w=w, r=r, two_m=two_m)
-    sad, satd = pl.pallas_call(
+    kernel = functools.partial(_kernel, h=h, w=w, r=r, two_m=two_m,
+                               emit=emit)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -311,16 +470,10 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
             pl.BlockSpec((r, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((two_m, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((two_m, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((two_m, n_cu), jnp.int32),
-            jax.ShapeDtypeStruct((two_m, n_cu), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=([pltpu.VMEM((two_m, tile), jnp.int32)] * 2
+                        if emit == "msh_t" else []),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * two_m * n_cu * h * w * 4,
@@ -329,4 +482,6 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
             transcendentals=0,
         ),
     )(pred, orig, ref_t, refl_anchor)
-    return sad[:, :n_in], satd[:, :n_in]
+    if emit == "msh_t":
+        return outs[0][:n_in]
+    return outs[0][:, :n_in], outs[1][:, :n_in]
