@@ -52,3 +52,13 @@ def test_pallas_matches_soa(h, w, r, two_m):
         h=h, w=w, r=r, cu_tile=128, interpret=True, emit="msh_t")
     exp_msh = np.minimum(2 * np.asarray(exp_sad), np.asarray(exp_satd)).T
     np.testing.assert_array_equal(np.asarray(got_msh), exp_msh)
+
+    # full-report regime with mode-minor (transposed) outputs
+    got_sad_t, got_satd_t = upsample_distortion(
+        pred, orig.astype(jnp.int16), ref_t.astype(jnp.int16),
+        ref_l[up_v - 1::up_v].astype(jnp.int16),
+        h=h, w=w, r=r, cu_tile=128, interpret=True, emit="sad_satd_t")
+    np.testing.assert_array_equal(np.asarray(got_sad_t),
+                                  np.asarray(exp_sad).T)
+    np.testing.assert_array_equal(np.asarray(got_satd_t),
+                                  np.asarray(exp_satd).T)

@@ -96,27 +96,44 @@ def main():
         ref_pad = jnp.concatenate([ref_pad[:, :1], ref_pad], axis=1)
         return frame_pad, ref_pad
 
-    # stage A: gathers + boundary reduce + einsum pred (all classes)
+    # stage A: gathers + boundary reduce + Pallas pred (mirrors the
+    # engine: mode-minor raster for SizeId0/1, %4 perms + grouped layout
+    # for SizeId2)
+    from vvc_mip_gpu_tpu.ops.pallas import pred as pallas_pred
+    from vvc_mip_gpu_tpu.ops.pallas.distortion import (
+        _mod4_major, default_cu_tile, input_perms)
+
+    def _class_inputs(frame_pad, ref_pad, cplan):
+        shape = cplan.shape
+        h, w = shape.height, shape.width
+        mode_minor = shape.size_id < 2
+        if mode_minor:
+            pred_perm = row_perm = col_perm = None
+        else:
+            pred_perm = tuple(int(v) for v in input_perms(
+                h, w, shape.reduced_pred_size)[0])
+            row_perm, col_perm = _mod4_major(h), _mod4_major(w)
+        rts, rls, origs = [], [], []
+        for gp in cplan.groups:
+            rt, rl = soa.gather_boundaries(ref_pad, gp, True)
+            rts.append(rt)
+            rls.append(rl)
+            origs.append(soa.gather_originals(frame_pad, gp, row_perm,
+                                              col_perm))
+        ref_t = jnp.concatenate(rts, axis=-1)
+        ref_l = jnp.concatenate(rls, axis=-1)
+        orig = jnp.concatenate(origs, axis=-1)
+        red_t = soa.reduce_boundary(ref_t, shape.boundary_size)
+        red_l = soa.reduce_boundary(ref_l, shape.boundary_size)
+        pred = pallas_pred.reduced_prediction(
+            red_t, red_l, shape.size_id, sample_perm=pred_perm,
+            mode_minor=mode_minor, cu_tile=default_cu_tile(h, w))
+        return pred, orig, ref_t, ref_l, mode_minor
+
     def stage_a(fr):
         frame_pad, ref_pad = _padded(fr)
-        outs = []
-        for cplan in class_plans(W, H):
-            shape = cplan.shape
-            rts, rls, origs = [], [], []
-            for gp in cplan.groups:
-                rt, rl = soa.gather_boundaries(ref_pad, gp, True)
-                rts.append(rt)
-                rls.append(rl)
-                origs.append(soa.gather_originals(frame_pad, gp))
-            ref_t = jnp.concatenate(rts, axis=-1)
-            ref_l = jnp.concatenate(rls, axis=-1)
-            orig = jnp.concatenate(origs, axis=-1)
-            red_t = soa.reduce_boundary(ref_t, shape.boundary_size)
-            red_l = soa.reduce_boundary(ref_l, shape.boundary_size)
-            pred = soa.reduced_prediction_all_modes(red_t, red_l,
-                                                    shape.size_id)
-            outs.append((pred, orig, ref_t, ref_l))
-        return outs
+        return [_class_inputs(frame_pad, ref_pad, cplan)[:4]
+                for cplan in class_plans(W, H)]
 
     print(f"stage A (gather+reduce+pred einsum, all classes): "
           f"{device_ms(stage_a, frame):8.2f} ms")
@@ -190,38 +207,63 @@ def main():
     print(f"  stage C (reorder+flatten+min): {device_ms(stage_c, fake):8.2f}"
           " ms", flush=True)
 
-    # stage B: pallas distortion per class (inputs fixed per class)
-    from vvc_mip_gpu_tpu.ops.pallas.distortion import (
-        default_cu_tile, upsample_distortion)
+    # stage C, max-performance form: mode-minor [nCU, 2M] kernel outputs,
+    # mid-axis-only reorder (lattice_costs_to_ctu_mode_minor)
+    def stage_c_mm(fake_t):
+        msh_blocks = {}
+        k = 0
+        for cplan in class_plans(W, H):
+            two_m = 2 * PRED_MODES[cplan.shape.size_id]
+            n_tot = sum(gp.n_rows * gp.n_cols for gp in cplan.groups)
+            msh = fake_t[k:k + n_tot, :two_m]
+            k += n_tot
+            off = 0
+            for gp in cplan.groups:
+                n = gp.n_rows * gp.n_cols
+                msh_blocks[gp.group_index] = (
+                    gp.lattice_costs_to_ctu_mode_minor(msh[off:off + n]))
+                off += n
+        return _flatten_strided(msh_blocks)
+
+    fake_t = jax.device_put(jnp.asarray(
+        np.random.default_rng(2).integers(0, 1 << 20, (total_cu, 32)),
+        jnp.int32))
+    print(f"  stage C max-perf (mode-minor reorder): "
+          f"{device_ms(stage_c_mm, fake_t):8.2f} ms", flush=True)
+
+    # stage B: pallas distortion per class (inputs fixed per class; the
+    # engine's max-performance emit="msh_t" configuration)
+    from vvc_mip_gpu_tpu.ops.pallas.distortion import upsample_distortion
 
     @jax.jit
     def staged(fr):
-        return stage_a(fr)
+        frame_pad, ref_pad = _padded(fr)
+        return [_class_inputs(frame_pad, ref_pad, cplan)
+                for cplan in class_plans(W, H)]
 
     vals = staged(frame)
     _sync(vals[-1][0])
     b_total = 0.0
-    for cplan, (pred, orig, ref_t, ref_l) in zip(class_plans(W, H), vals):
+    for cplan, (pred, orig, ref_t, ref_l, mm) in zip(class_plans(W, H),
+                                                     vals):
         shape = cplan.shape
         h, w, r = shape.height, shape.width, shape.reduced_pred_size
-        n_cu = pred.shape[-1]
+        n_cu = orig.shape[-1]
         tile = default_cu_tile(h, w)
-        pad = (-n_cu) % tile
         up_v = h // r
-        args = [pred, orig, ref_t, ref_l[up_v - 1::up_v]]
-        if pad:
-            args = [jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
-                    for a in args]
-        args = [jax.device_put(a) for a in args]
+        args = [jax.device_put(a) for a in
+                (pred, orig, ref_t, ref_l[up_v - 1::up_v])]
+        two_m = pred.shape[1] if mm else pred.shape[0]
 
-        def body(p, _args=args, _h=h, _w=w, _r=r, _tile=tile):
+        def body(p, _args=args, _h=h, _w=w, _r=r, _tile=tile, _mm=mm):
             return upsample_distortion(p, *_args[1:], h=_h, w=_w, r=_r,
-                                       cu_tile=_tile)
+                                       cu_tile=_tile, inputs_permuted=True,
+                                       pred_mode_minor=_mm, emit="msh_t")
 
         ms = device_ms(body, args[0])
         b_total += ms
         print(f"  class {w:3d}x{h:<3d} sid{shape.size_id} nCU={n_cu:6d} "
-              f"2M={pred.shape[0]:2d} tile={tile:4d}: {ms:7.2f} ms")
+              f"2M={two_m:2d} tile={tile:4d}: {ms:7.2f} ms")
     print(f"stage B (pallas distortion, sum): {b_total:8.2f} ms")
 
 

@@ -59,10 +59,10 @@ def _use_pallas() -> bool:
 def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
                  use_pallas: bool | None = None,
                  max_performance: bool = False):
-    """Costs of one shape class in SoA lattice order: ([2M, nCU] sad,
-    satd), or a single MODE-MINOR [nCU, 2M] min(2*SAD, SATD) with
-    ``max_performance`` (emitted directly by the Pallas kernel so the
-    CTU-layout reorder never moves the mode axis to minor).
+    """Costs of one shape class in MODE-MINOR lattice order: ([nCU, 2M]
+    sad, satd), or a single [nCU, 2M] min(2*SAD, SATD) with
+    ``max_performance``.  Mode-minor is emitted directly by the Pallas
+    kernels so the CTU-layout reorder never moves the mode axis to minor.
 
     The CU axis concatenates every group's lattice-ordered CUs in group
     order; _compute splits it back per group and reorders.  On TPU the
@@ -129,7 +129,7 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
                                    inputs_permuted=True,
                                    pred_mode_minor=mode_minor,
                                    emit="msh_t" if max_performance
-                                   else "sad_satd")
+                                   else "sad_satd_t")
 
     pred = soa.reduced_prediction_all_modes(red_t, red_l, shape.size_id,
                                             sample_perm=pred_perm)
@@ -139,7 +139,7 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
     sad, satd = soa.distortion(orig, pred, h, w)
     if max_performance:
         return jnp.minimum(2 * sad, satd).T
-    return sad, satd
+    return sad.T, satd.T
 
 
 def _pad_edge(a, rows: int, cols: int):
@@ -197,11 +197,11 @@ def compute_ext(frame, ref_ext, is_top, width: int, height: int,
                 msh_blocks[gp.group_index] = (
                     gp.lattice_costs_to_ctu_mode_minor(costs[off:off + n]))
             else:
-                sad, satd = costs
-                sad_blocks[gp.group_index] = gp.lattice_costs_to_ctu(
-                    sad[:, off:off + n])
-                satd_blocks[gp.group_index] = gp.lattice_costs_to_ctu(
-                    satd[:, off:off + n])
+                sad_t, satd_t = costs
+                sad_blocks[gp.group_index] = (
+                    gp.lattice_costs_to_ctu_mode_minor(sad_t[off:off + n]))
+                satd_blocks[gp.group_index] = (
+                    gp.lattice_costs_to_ctu_mode_minor(satd_t[off:off + n]))
             off += n
     if max_performance:
         return None, None, _flatten_strided(msh_blocks)

@@ -84,6 +84,23 @@ def input_perms(h: int, w: int, r: int):
     return pred_perm, row_a, col4, orig_perm
 
 
+def _emit_costs(refs, sad, satd, emit: str):
+    """Write [2M, tile] sad/satd values to the output refs per ``emit``:
+    plain rows, mode-minor transposed rows ("sad_satd_t"), or a single
+    mode-minor min(2*SAD, SATD) ("msh_t")."""
+    if emit == "msh_t":
+        (msh_ref,) = refs
+        msh_ref[...] = jnp.transpose(jnp.minimum(2 * sad, satd), (1, 0))
+    elif emit == "sad_satd_t":
+        sad_ref, satd_ref = refs
+        sad_ref[...] = jnp.transpose(sad, (1, 0))
+        satd_ref[...] = jnp.transpose(satd, (1, 0))
+    else:
+        sad_ref, satd_ref = refs
+        sad_ref[...] = sad
+        satd_ref[...] = satd
+
+
 def _kernel_sid0(pred_ref, orig_ref, *rest, two_m: int, emit: str):
     """SizeId0 (4x4, no upsampling): the mode axis rides the SUBLANES.
 
@@ -105,13 +122,7 @@ def _kernel_sid0(pred_ref, orig_ref, *rest, two_m: int, emit: str):
             if ky == 0 and kx == 0:
                 dc = a
     satd = (acc - dc + (dc >> 2) + 1) >> 1
-    if emit == "msh_t":
-        (msh_ref,) = rest
-        msh_ref[...] = jnp.transpose(jnp.minimum(2 * sad, satd), (1, 0))
-    else:
-        sad_ref, satd_ref = rest
-        sad_ref[...] = sad
-        satd_ref[...] = satd
+    _emit_costs(rest, sad, satd, emit)
 
 
 def _satd4x4_planes(d):
@@ -142,11 +153,6 @@ def _kernel_mode_minor(pred_ref, orig_ref, reft_ref, refl_ref, *rest,
     slices (half the VPU idle); no %4 sample permutations are needed
     here at all because planes are addressed statically.
     """
-    if emit == "msh_t":
-        (msh_ref,) = rest
-        sad_ref = satd_ref = None
-    else:
-        sad_ref, satd_ref = rest
     c = pred_ref.shape[-1]
     up_h, up_v = w // r, h // r
 
@@ -210,23 +216,19 @@ def _kernel_mode_minor(pred_ref, orig_ref, reft_ref, refl_ref, *rest,
             sad = sad_b if sad is None else sad + sad_b
             satd = satd_b if satd is None else satd + satd_b
 
-    if emit == "msh_t":
-        msh_ref[...] = jnp.transpose(jnp.minimum(2 * sad, satd), (1, 0))
-    else:
-        sad_ref[...] = sad
-        satd_ref[...] = satd
+    _emit_costs(rest, sad, satd, emit)
 
 
 def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, *rest, h: int, w: int,
             r: int, two_m: int, emit: str):
-    if emit == "msh_t":
-        # sad/satd land in VMEM scratch; the epilogue below emits
-        # min(2*SAD, SATD) transposed to [tile, 2M], so the engine's
-        # lattice->CTU reorder never moves the mode axis to minor (the
-        # expensive half of the old epilogue).
-        msh_ref, sad_ref, satd_ref = rest
-    else:
+    if emit == "sad_satd":
         sad_ref, satd_ref = rest
+    else:
+        # The mode loop accumulates sad/satd rows in VMEM scratch; the
+        # epilogue below emits the transposed (mode-minor) outputs, so
+        # the engine's lattice->CTU reorder never moves the mode axis to
+        # minor (the expensive half of the old epilogue).
+        *out_refs, sad_ref, satd_ref = rest
     # One CU tile per grid step; a fori_loop over the 2M modes amortizes
     # the per-step overhead (a mode-per-grid-step variant measured ~2x
     # slower on small classes).  int16 is storage-only: the v5e VPU has no
@@ -332,9 +334,8 @@ def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, *rest, h: int, w: int,
             body(m, 0)
     else:
         jax.lax.fori_loop(0, n_iter, body, 0)
-    if emit == "msh_t":
-        msh_ref[...] = jnp.transpose(
-            jnp.minimum(2 * sad_ref[...], satd_ref[...]), (1, 0))
+    if emit != "sad_satd":
+        _emit_costs(out_refs, sad_ref[...], satd_ref[...], emit)
 
 @functools.partial(jax.jit, static_argnames=(
     "h", "w", "r", "cu_tile", "interpret", "inputs_permuted",
@@ -389,14 +390,23 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
             f"tile-padded {n_cu}")
     grid = (n_cu // tile,)
 
-    if emit == "msh_t":
-        out_specs = [pl.BlockSpec((tile, two_m), lambda i: (i, 0),
-                                  memory_space=pltpu.VMEM)]
-        out_shape = [jax.ShapeDtypeStruct((n_cu, two_m), jnp.int32)]
-    else:
+    n_outs = 1 if emit == "msh_t" else 2
+    if emit == "sad_satd":
         out_specs = [pl.BlockSpec((two_m, tile), lambda i: (0, i),
                                   memory_space=pltpu.VMEM)] * 2
         out_shape = [jax.ShapeDtypeStruct((two_m, n_cu), jnp.int32)] * 2
+    else:  # transposed (mode-minor) outputs
+        out_specs = [pl.BlockSpec((tile, two_m), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)] * n_outs
+        out_shape = [jax.ShapeDtypeStruct((n_cu, two_m),
+                                          jnp.int32)] * n_outs
+
+    def _sliced(outs):
+        if emit == "sad_satd":
+            return outs[0][:, :n_in], outs[1][:, :n_in]
+        if emit == "msh_t":
+            return outs[0][:n_in]
+        return outs[0][:n_in], outs[1][:n_in]
 
     if sid0:
         # SizeId0: mode-on-sublanes kernel; pred transposed in XLA (fused
@@ -414,9 +424,7 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
             out_shape=out_shape,
             interpret=interpret,
         )(pred if pred_mode_minor else jnp.swapaxes(pred, 0, 1), orig)
-        if emit == "msh_t":
-            return outs[0][:n_in]
-        return outs[0][:, :n_in], outs[1][:, :n_in]
+        return _sliced(outs)
 
     if mode_minor:
         # SizeId1 classes: mode-on-sublanes kernel, raster sample order
@@ -442,9 +450,7 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
             interpret=interpret,
         )(pred if pred_mode_minor else jnp.swapaxes(pred, 0, 1),
           orig, ref_t, refl_anchor)
-        if emit == "msh_t":
-            return outs[0][:n_in]
-        return outs[0][:, :n_in], outs[1][:, :n_in]
+        return _sliced(outs)
 
     # Static %4-group permutations (see _kernel); applied here unless the
     # caller already folded them upstream (inputs_permuted).
@@ -473,7 +479,7 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=([pltpu.VMEM((two_m, tile), jnp.int32)] * 2
-                        if emit == "msh_t" else []),
+                        if emit != "sad_satd" else []),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * two_m * n_cu * h * w * 4,
@@ -482,6 +488,4 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
             transcendentals=0,
         ),
     )(pred, orig, ref_t, refl_anchor)
-    if emit == "msh_t":
-        return outs[0][:n_in]
-    return outs[0][:, :n_in], outs[1][:, :n_in]
+    return _sliced(outs)
