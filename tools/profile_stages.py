@@ -87,14 +87,21 @@ def main():
     from vvc_mip_gpu_tpu.models.cost_engine import _pad_edge
     from vvc_mip_gpu_tpu.ops.geometry import padded_extent
 
+    from vvc_mip_gpu_tpu.models.cost_engine import gather_strides as _gs
+
     def _padded(fr):
         fr16 = fr.astype(jnp.int16)
         ref_ext = jnp.concatenate([fr16[:1], fr16], axis=0)
         hp, wp = padded_extent(W, H)
+        strides = _gs(W, H)
+        wp += (-wp) % max(strides, default=1)
         frame_pad = _pad_edge(fr16, hp, wp)
-        ref_pad = _pad_edge(ref_ext, hp + 1, wp)
-        ref_pad = jnp.concatenate([ref_pad[:, :1], ref_pad], axis=1)
-        return frame_pad, ref_pad
+        ref_ext_pad = _pad_edge(ref_ext, hp + 1, wp)
+        ref_pad = jnp.concatenate([ref_ext_pad[:, :1], ref_ext_pad],
+                                  axis=1)
+        f_frame = {s: soa.phase_split(frame_pad, s) for s in strides}
+        f_ref = {s: soa.phase_split(ref_ext_pad, s) for s in strides}
+        return frame_pad, ref_pad, f_frame, f_ref
 
     # stage A: gathers + boundary reduce + Pallas pred (mirrors the
     # engine: mode-minor raster for SizeId0/1, %4 perms + grouped layout
@@ -103,7 +110,10 @@ def main():
     from vvc_mip_gpu_tpu.ops.pallas.distortion import (
         _mod4_major, default_cu_tile, input_perms)
 
-    def _class_inputs(frame_pad, ref_pad, cplan):
+    from vvc_mip_gpu_tpu.models.cost_engine import (
+        _group_stride, gather_strides)
+
+    def _class_inputs(frame_pad, ref_pad, cplan, f_frame=None, f_ref=None):
         shape = cplan.shape
         h, w = shape.height, shape.width
         mode_minor = shape.size_id < 2
@@ -115,11 +125,18 @@ def main():
             row_perm, col_perm = _mod4_major(h), _mod4_major(w)
         rts, rls, origs = [], [], []
         for gp in cplan.groups:
-            rt, rl = soa.gather_boundaries(ref_pad, gp, True)
+            stride = _group_stride(gp)
+            if stride is not None and f_frame is not None:
+                rt, rl = soa.gather_boundaries_phase(f_ref[stride], gp,
+                                                     True)
+                origs.append(soa.gather_originals_phase(
+                    f_frame[stride], gp, row_perm, col_perm))
+            else:
+                rt, rl = soa.gather_boundaries(ref_pad, gp, True)
+                origs.append(soa.gather_originals(frame_pad, gp, row_perm,
+                                                  col_perm))
             rts.append(rt)
             rls.append(rl)
-            origs.append(soa.gather_originals(frame_pad, gp, row_perm,
-                                              col_perm))
         ref_t = jnp.concatenate(rts, axis=-1)
         ref_l = jnp.concatenate(rls, axis=-1)
         orig = jnp.concatenate(origs, axis=-1)
@@ -131,21 +148,29 @@ def main():
         return pred, orig, ref_t, ref_l, mode_minor
 
     def stage_a(fr):
-        frame_pad, ref_pad = _padded(fr)
-        return [_class_inputs(frame_pad, ref_pad, cplan)[:4]
+        frame_pad, ref_pad, f_frame, f_ref = _padded(fr)
+        return [_class_inputs(frame_pad, ref_pad, cplan, f_frame,
+                              f_ref)[:4]
                 for cplan in class_plans(W, H)]
 
     print(f"stage A (gather+reduce+pred einsum, all classes): "
           f"{device_ms(stage_a, frame):8.2f} ms")
 
-    # gathers only
+    # gathers only (engine path: phase-split where uniform)
     def gathers_only(fr):
-        frame_pad, ref_pad = _padded(fr)
+        frame_pad, ref_pad, f_frame, f_ref = _padded(fr)
         outs = []
         for cplan in class_plans(W, H):
             for gp in cplan.groups:
-                rt, rl = soa.gather_boundaries(ref_pad, gp, True)
-                outs.append((rt, rl, soa.gather_originals(frame_pad, gp)))
+                stride = _group_stride(gp)
+                if stride is not None:
+                    rt, rl = soa.gather_boundaries_phase(f_ref[stride],
+                                                         gp, True)
+                    og = soa.gather_originals_phase(f_frame[stride], gp)
+                else:
+                    rt, rl = soa.gather_boundaries(ref_pad, gp, True)
+                    og = soa.gather_originals(frame_pad, gp)
+                outs.append((rt, rl, og))
         return outs
 
     print(f"  gathers only: {device_ms(gathers_only, frame):8.2f} ms",
@@ -153,16 +178,23 @@ def main():
 
     # gathers + boundary reduce (isolates the reduce + pred einsum split)
     def gathers_reduce(fr):
-        frame_pad, ref_pad = _padded(fr)
+        frame_pad, ref_pad, f_frame, f_ref = _padded(fr)
         outs = []
         for cplan in class_plans(W, H):
             shape = cplan.shape
             rts, rls, origs = [], [], []
             for gp in cplan.groups:
-                rt, rl = soa.gather_boundaries(ref_pad, gp, True)
+                stride = _group_stride(gp)
+                if stride is not None:
+                    rt, rl = soa.gather_boundaries_phase(f_ref[stride],
+                                                         gp, True)
+                    origs.append(soa.gather_originals_phase(
+                        f_frame[stride], gp))
+                else:
+                    rt, rl = soa.gather_boundaries(ref_pad, gp, True)
+                    origs.append(soa.gather_originals(frame_pad, gp))
                 rts.append(rt)
                 rls.append(rl)
-                origs.append(soa.gather_originals(frame_pad, gp))
             ref_t = jnp.concatenate(rts, axis=-1)
             ref_l = jnp.concatenate(rls, axis=-1)
             orig = jnp.concatenate(origs, axis=-1)
@@ -237,8 +269,8 @@ def main():
 
     @jax.jit
     def staged(fr):
-        frame_pad, ref_pad = _padded(fr)
-        return [_class_inputs(frame_pad, ref_pad, cplan)
+        frame_pad, ref_pad, f_frame, f_ref = _padded(fr)
+        return [_class_inputs(frame_pad, ref_pad, cplan, f_frame, f_ref)
                 for cplan in class_plans(W, H)]
 
     vals = staged(frame)

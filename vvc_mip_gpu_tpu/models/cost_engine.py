@@ -56,9 +56,30 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _group_stride(gp) -> int | None:
+    """Lattice x stride for the phase-split gather path, or None for the
+    (rare) non-uniform-x groups that fall back to the transpose path."""
+    if gp.x_prog is None:
+        return None
+    s = gp.x_prog[1] if len(gp.xs) > 1 else gp.width
+    return s if gp.x_prog[0] + gp.width <= s else None
+
+
+def gather_strides(width: int, height: int) -> tuple[int, ...]:
+    """All distinct lattice strides the phase-split gathers need."""
+    out = set()
+    for cplan in class_plans(width, height):
+        for gp in cplan.groups:
+            s = _group_stride(gp)
+            if s is not None:
+                out.add(s)
+    return tuple(sorted(out))
+
+
 def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
                  use_pallas: bool | None = None,
-                 max_performance: bool = False):
+                 max_performance: bool = False,
+                 f_frame=None, f_ref=None):
     """Costs of one shape class in MODE-MINOR lattice order: ([nCU, 2M]
     sad, satd), or a single [nCU, 2M] min(2*SAD, SATD) with
     ``max_performance``.  Mode-minor is emitted directly by the Pallas
@@ -94,11 +115,17 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
         row_perm = col_perm = None
     ref_t_parts, ref_l_parts, orig_parts = [], [], []
     for gp in cplan.groups:
-        rt, rl = soa.gather_boundaries(ref_ext, gp, is_top)
+        stride = _group_stride(gp)
+        if stride is not None and f_frame is not None:
+            rt, rl = soa.gather_boundaries_phase(f_ref[stride], gp, is_top)
+            orig_parts.append(soa.gather_originals_phase(
+                f_frame[stride], gp, row_perm, col_perm))
+        else:
+            rt, rl = soa.gather_boundaries(ref_ext, gp, is_top)
+            orig_parts.append(soa.gather_originals(frame, gp, row_perm,
+                                                   col_perm))
         ref_t_parts.append(rt)
         ref_l_parts.append(rl)
-        orig_parts.append(soa.gather_originals(frame, gp, row_perm,
-                                               col_perm))
     ref_t = jnp.concatenate(ref_t_parts, axis=-1)  # [w, nCU]
     ref_l = jnp.concatenate(ref_l_parts, axis=-1)  # [h, nCU]
     orig = jnp.concatenate(orig_parts, axis=-1)  # [h*w, nCU] raster
@@ -179,15 +206,25 @@ def compute_ext(frame, ref_ext, is_top, width: int, height: int,
     # slices (geometry.padded_extent); padded samples reach only CUs the
     # validity mask flags out-of-frame.
     hp, wp = padded_extent(width, height)
+    strides = gather_strides(width, height)
+    # Extra edge-replicated columns so Wp divides every phase-split
+    # stride (read only by out-of-frame CUs, which `valid` flags).
+    wp += (-wp) % max(strides, default=1)
     frame_pad = _pad_edge(frame, hp, wp)
-    ref_pad = _pad_edge(ref_ext, hp + 1, wp)
-    ref_pad = jnp.concatenate([ref_pad[:, :1], ref_pad], axis=1)
+    ref_ext_pad = _pad_edge(ref_ext, hp + 1, wp)  # [1+Hp, Wp] slab
+    ref_pad = jnp.concatenate([ref_ext_pad[:, :1], ref_ext_pad], axis=1)
+    # Phase-split frames: one lane-hostile relayout per distinct lattice
+    # stride, after which every group gather is minor-axis-preserving
+    # slices (see soa.phase_split).
+    f_frame = {s: soa.phase_split(frame_pad, s) for s in strides}
+    f_ref = {s: soa.phase_split(ref_ext_pad, s) for s in strides}
     sad_blocks: dict[int, jax.Array] = {}
     satd_blocks: dict[int, jax.Array] = {}
     msh_blocks: dict[int, jax.Array] = {}
     for cplan in class_plans(width, height):
         costs = _class_costs(frame_pad, ref_pad, is_top, cplan,
-                             max_performance=max_performance)
+                             max_performance=max_performance,
+                             f_frame=f_frame, f_ref=f_ref)
         # Split the class CU axis back per group (static lattice sizes) and
         # reorder each from lattice order to the reference CTU layout.
         off = 0
