@@ -62,3 +62,59 @@ def test_pallas_matches_soa(h, w, r, two_m):
                                   np.asarray(exp_sad).T)
     np.testing.assert_array_equal(np.asarray(got_satd_t),
                                   np.asarray(exp_satd).T)
+
+
+@pytest.mark.parametrize("h,w,r,two_m", [
+    (8, 8, 4, 16),
+    (4, 16, 4, 16),
+    (16, 4, 4, 16),
+    (16, 16, 8, 12),
+    (64, 64, 8, 12),
+    (32, 4, 4, 16),
+    (4, 32, 4, 16),
+    (16, 32, 8, 12),
+    (4, 4, 4, 32),
+])
+@pytest.mark.parametrize("emit", ["msh_t", "sad_satd_t"])
+def test_fused_pred_matches_soa(h, w, r, two_m, emit):
+    """The in-kernel prediction matmul (mat/limbs inputs, pred=None) must
+    reproduce the SoA pred -> upsample -> distortion chain bit-for-bit."""
+    from vvc_mip_gpu_tpu.ops.pallas import pred as pallas_pred
+    from vvc_mip_gpu_tpu.ops.pallas.distortion import input_perms
+
+    size_id = 0 if (h == 4 and w == 4) else (1 if r == 4 else 2)
+    mode_minor = r == 4 and size_id != 0
+    bs = 2 if size_id == 0 else 4
+    n = 300
+    red_t = jnp.asarray(RNG.integers(0, 1024, (bs, n)), jnp.int32)
+    red_l = jnp.asarray(RNG.integers(0, 1024, (bs, n)), jnp.int32)
+    orig = jnp.asarray(RNG.integers(0, 1024, (h * w, n)), jnp.int32)
+    ref_t = jnp.asarray(RNG.integers(0, 1024, (w, n)), jnp.int32)
+    ref_l = jnp.asarray(RNG.integers(0, 1024, (h, n)), jnp.int32)
+
+    pred = soa.reduced_prediction_all_modes(red_t, red_l, size_id)
+    if size_id == 0:
+        up = pred
+    else:
+        up = soa.upsample_all(pred, ref_t, ref_l, w, h, r)
+    exp_sad, exp_satd = soa.distortion(orig, up, h, w)
+    exp_msh = np.minimum(2 * np.asarray(exp_sad), np.asarray(exp_satd))
+
+    sample_perm = (tuple(int(v) for v in input_perms(h, w, r)[0])
+                   if size_id == 2 else None)
+    mat = jnp.asarray(pallas_pred._augmented_matrix(
+        size_id, sample_perm, mode_minor or size_id == 0))
+    limbs = pallas_pred._augmented_inputs(red_t, red_l, size_id)
+    up_v = h // r
+    outs = upsample_distortion(
+        None, orig.astype(jnp.int16), ref_t.astype(jnp.int16),
+        ref_l[up_v - 1::up_v].astype(jnp.int16),
+        h=h, w=w, r=r, cu_tile=128, interpret=True, emit=emit,
+        mat=mat, limbs=limbs, two_m=two_m)
+    if emit == "msh_t":
+        np.testing.assert_array_equal(np.asarray(outs), exp_msh.T)
+    else:
+        np.testing.assert_array_equal(np.asarray(outs[0]),
+                                      np.asarray(exp_sad).T)
+        np.testing.assert_array_equal(np.asarray(outs[1]),
+                                      np.asarray(exp_satd).T)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from vvc_mip_gpu_tpu.constants import (
     GROUPS,
+    PRED_MODES,
     STRIDED_DISTORTIONS_PER_CTU,
     num_ctus,
 )
@@ -134,27 +135,28 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
     red_l = soa.reduce_boundary(ref_l, shape.boundary_size)
 
     if use_pallas:
-        # The prediction matmul runs as its own Pallas kernel (one bf16
-        # MXU dot per CU tile with the int16 epilogue fused in VMEM) —
-        # the XLA dot materializes the f32 product and the wing concat,
-        # ~7x the HBM traffic.  Fusing it into the DISTORTION kernel was
-        # tried and measured ~2x slower (the contraction stalls the VPU
-        # pipeline per mode); a standalone kernel keeps both hot.  The
-        # pred CU axis stays tile-padded end-to-end: same cu_tile here
-        # and below, so no repad copy in between.
+        # The prediction matmul is FUSED into the distortion kernel: one
+        # bf16 MXU dot per CU tile against the augmented matrix (offset
+        # term, rounding, +first and both wings folded in — see
+        # ops/pallas/pred.py), consumed straight from VMEM/registers.
+        # The ~600 MB/frame prediction tensor never exists in HBM.  (An
+        # earlier pre-limb-fold in-kernel matmul measured 2x slower; the
+        # single-dot form with contiguous row-slice consumption wins.)
         from vvc_mip_gpu_tpu.ops.pallas import pred as pallas_pred
         from vvc_mip_gpu_tpu.ops.pallas.distortion import (
             default_cu_tile, upsample_distortion)
 
         tile = default_cu_tile(h, w)
-        pred = pallas_pred.reduced_prediction(
-            red_t, red_l, shape.size_id, sample_perm=pred_perm,
-            mode_minor=mode_minor, cu_tile=tile)
+        mat = jnp.asarray(pallas_pred._augmented_matrix(
+            shape.size_id, pred_perm, mode_minor))
+        limbs = pallas_pred._augmented_inputs(red_t, red_l, shape.size_id)
         up_v = h // r
-        return upsample_distortion(pred, orig, ref_t, ref_l[up_v - 1::up_v],
+        return upsample_distortion(None, orig, ref_t,
+                                   ref_l[up_v - 1::up_v],
                                    h=h, w=w, r=r, cu_tile=tile,
                                    inputs_permuted=True,
-                                   pred_mode_minor=mode_minor,
+                                   mat=mat, limbs=limbs,
+                                   two_m=2 * PRED_MODES[shape.size_id],
                                    emit="msh_t" if max_performance
                                    else "sad_satd_t")
 

@@ -84,6 +84,17 @@ def input_perms(h: int, w: int, r: int):
     return pred_perm, row_a, col4, orig_perm
 
 
+def _fused_pred(mat_ref, x_ref):
+    """In-kernel all-mode reduced prediction: one bf16 MXU dot against the
+    augmented matrix (see ops/pallas/pred.py for the folded algebra and
+    the bit-exactness argument), epilogue in registers — the prediction
+    tensor never exists in HBM.  Returns [rows, tile] int32 in the
+    matrix's row order ((m, s) grouped / (s, m) mode-minor)."""
+    acc = jnp.dot(mat_ref[...], x_ref[...],
+                  preferred_element_type=jnp.float32)
+    return jnp.clip(acc.astype(jnp.int32) >> 6, 0, 1023)
+
+
 def _emit_costs(refs, sad, satd, emit: str):
     """Write [2M, tile] sad/satd values to the output refs per ``emit``:
     plain rows, mode-minor transposed rows ("sad_satd_t"), or a single
@@ -101,16 +112,23 @@ def _emit_costs(refs, sad, satd, emit: str):
         satd_ref[...] = satd
 
 
-def _kernel_sid0(pred_ref, orig_ref, *rest, two_m: int, emit: str):
+def _kernel_sid0(*refs, two_m: int, emit: str, fused: bool):
     """SizeId0 (4x4, no upsampling): the mode axis rides the SUBLANES.
 
-    pred arrives transposed to [16, 2M, tile]; all 2M modes process in one
-    shot with every op on full-width (2M, lane) tiles — no mode loop, no
-    skinny 4-sublane planes (measured ~3x faster than the looped form for
-    this class)."""
-    c = pred_ref.shape[-1]
+    pred arrives transposed to [16, 2M, tile] (or is computed in-kernel
+    when ``fused``); all 2M modes process in one shot with every op on
+    full-width (2M, lane) tiles — no mode loop, no skinny 4-sublane
+    planes (measured ~3x faster than the looped form for this class)."""
+    if fused:
+        mat_ref, x_ref, orig_ref, *rest = refs
+        c = orig_ref.shape[-1]
+        pred3 = _fused_pred(mat_ref, x_ref).reshape(16, two_m, c)
+    else:
+        pred_ref, orig_ref, *rest = refs
+        c = pred_ref.shape[-1]
+        pred3 = pred_ref[...].astype(jnp.int32)
     og = orig_ref[...].astype(jnp.int32).reshape(16, 1, c)
-    d = og - pred_ref[...].astype(jnp.int32)  # [16, 2M, c]
+    d = og - pred3  # [16, 2M, c]
     sad = jnp.abs(d).sum(0, dtype=jnp.int32)  # [2M, c]
     d4 = d.reshape(4, 4, two_m, c)
     acc = None
@@ -141,8 +159,8 @@ def _satd4x4_planes(d):
     return (acc - dc + (dc >> 2) + 1) >> 1
 
 
-def _kernel_mode_minor(pred_ref, orig_ref, reft_ref, refl_ref, *rest,
-                       h: int, w: int, r: int, two_m: int, emit: str):
+def _kernel_mode_minor(*refs, h: int, w: int, r: int, two_m: int,
+                       emit: str, fused: bool):
     """SizeId0/1 classes (r == 4): the mode axis rides the SUBLANES.
 
     pred arrives mode-minor [S, 2M, tile] in RASTER sample order; every
@@ -153,11 +171,21 @@ def _kernel_mode_minor(pred_ref, orig_ref, reft_ref, refl_ref, *rest,
     slices (half the VPU idle); no %4 sample permutations are needed
     here at all because planes are addressed statically.
     """
-    c = pred_ref.shape[-1]
-    up_h, up_v = w // r, h // r
+    if fused:
+        mat_ref, x_ref, orig_ref, reft_ref, refl_ref, *rest = refs
+        c = orig_ref.shape[-1]
+        predv = _fused_pred(mat_ref, x_ref)  # rows (s, m)
 
-    def pred_plane(i):
-        return pred_ref[pl.ds(i, 1)].reshape(two_m, c).astype(jnp.int32)
+        def pred_plane(i):
+            return predv[i * two_m:(i + 1) * two_m]
+    else:
+        pred_ref, orig_ref, reft_ref, refl_ref, *rest = refs
+        c = pred_ref.shape[-1]
+
+        def pred_plane(i):
+            return pred_ref[pl.ds(i, 1)].reshape(two_m, c).astype(
+                jnp.int32)
+    up_h, up_v = w // r, h // r
 
     def orig_plane(i):
         return orig_ref[pl.ds(i, 1)].astype(jnp.int32)  # [1, c]
@@ -219,8 +247,25 @@ def _kernel_mode_minor(pred_ref, orig_ref, reft_ref, refl_ref, *rest,
     _emit_costs(rest, sad, satd, emit)
 
 
-def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, *rest, h: int, w: int,
-            r: int, two_m: int, emit: str):
+def _kernel(*refs, h: int, w: int, r: int, two_m: int, emit: str,
+            fused: bool):
+    if fused:
+        # The fori_loop below needs dynamic row slices, which Mosaic only
+        # supports on REFS — stage the in-kernel prediction through the
+        # trailing VMEM scratch ref.
+        mat_ref, x_ref, orig_ref, reft_ref, refl_ref, *rest = refs
+        *rest, pred_s = rest
+        pred_s[...] = _fused_pred(mat_ref, x_ref)  # rows (m, s)
+
+        def load_pred(m):
+            return pred_s[pl.ds(m * r * r, r * r)].reshape(
+                r, r, pred_s.shape[-1])
+    else:
+        pred_ref, orig_ref, reft_ref, refl_ref, *rest = refs
+
+        def load_pred(m):
+            return pred_ref[pl.ds(m, 1)].astype(jnp.int32).reshape(
+                r, r, pred_ref.shape[-1])
     if emit == "sad_satd":
         sad_ref, satd_ref = rest
     else:
@@ -242,7 +287,7 @@ def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, *rest, h: int, w: int,
     # exactly and that 2x interpolation is a rounded average.
     up_h = w // r
     up_v = h // r
-    c = pred_ref.shape[-1]
+    c = orig_ref.shape[-1]
     # orig rows arrive y%4-grouped, columns x%4-grouped
     og4 = orig_ref[...].astype(jnp.int32).reshape(4, h // 4, w, c)
     if up_h > 1:
@@ -299,8 +344,7 @@ def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, *rest, h: int, w: int,
                 for i in range(4)]
 
     def mode_body(m, _):
-        p3 = (pred_ref[pl.ds(m, 1)].astype(jnp.int32).reshape(r, r, c))
-        d = vertical(horizontal(p3))
+        d = vertical(horizontal(load_pred(m)))
         sad = None
         for i in range(4):
             d[i] = og4[i] - d[i]
@@ -339,11 +383,12 @@ def _kernel(pred_ref, orig_ref, reft_ref, refl_ref, *rest, h: int, w: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "h", "w", "r", "cu_tile", "interpret", "inputs_permuted",
-    "pred_mode_minor", "emit"))
+    "pred_mode_minor", "emit", "two_m"))
 def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
                         cu_tile=None, interpret=False,
                         inputs_permuted=False, pred_mode_minor=False,
-                        emit="sad_satd"):
+                        emit="sad_satd", mat=None, limbs=None,
+                        two_m=None):
     """Fused upsample+SAD+SATD for one class.
 
     pred: [2M, R*R, nCU] int16 reduced predictions (raster sample order).
@@ -363,7 +408,15 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
     """
     sid0 = h == 4 and w == 4
     mode_minor = r == 4 and not sid0  # all SizeId1 classes
-    if pred_mode_minor:
+    fused = pred is None
+    s = r * r
+    if fused:
+        # Prediction computed in-kernel from the augmented matrix + limb
+        # stack (see _fused_pred / ops/pallas/pred.py); the pred tensor
+        # never touches HBM.
+        assert mat is not None and limbs is not None and two_m is not None
+        n_pred = limbs.shape[-1]
+    elif pred_mode_minor:
         assert sid0 or mode_minor, (
             "mode-minor pred layout is a SizeId0/1 option")
         s, two_m, n_pred = pred.shape
@@ -383,11 +436,32 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
             for a in (orig, ref_t, refl_anchor))
     if n_pred == n_in:
         if pad:
-            pred = jnp.pad(pred, [(0, 0), (0, 0), (0, pad)])
+            if fused:
+                limbs = jnp.pad(limbs, [(0, 0), (0, pad)])
+            else:
+                pred = jnp.pad(pred, [(0, 0), (0, 0), (0, pad)])
     elif n_pred != n_cu:
         raise ValueError(
             f"pred CU axis {n_pred} matches neither nCU {n_in} nor the "
             f"tile-padded {n_cu}")
+
+    if fused:
+        rows_m, k_dim = mat.shape
+        pred_inputs = [mat, limbs]
+        pred_specs = [
+            pl.BlockSpec((rows_m, k_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_dim, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        if (sid0 or mode_minor) and not pred_mode_minor:
+            pred = jnp.swapaxes(pred, 0, 1)
+        pred_inputs = [pred]
+        shape3 = ((s, two_m, tile) if sid0 or mode_minor
+                  else (two_m, s, tile))
+        pred_specs = [pl.BlockSpec(shape3, lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM)]
     grid = (n_cu // tile,)
 
     n_outs = 1 if emit == "msh_t" else 2
@@ -409,21 +483,19 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
         return outs[0][:n_in], outs[1][:n_in]
 
     if sid0:
-        # SizeId0: mode-on-sublanes kernel; pred transposed in XLA (fused
-        # into its producing copy).
+        # SizeId0: mode-on-sublanes kernel.
         outs = pl.pallas_call(
-            functools.partial(_kernel_sid0, two_m=two_m, emit=emit),
+            functools.partial(_kernel_sid0, two_m=two_m, emit=emit,
+                              fused=fused),
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((s, two_m, tile), lambda i: (0, 0, i),
-                             memory_space=pltpu.VMEM),
+            in_specs=pred_specs + [
                 pl.BlockSpec((h * w, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(pred if pred_mode_minor else jnp.swapaxes(pred, 0, 1), orig)
+        )(*pred_inputs, orig)
         return _sliced(outs)
 
     if mode_minor:
@@ -431,13 +503,11 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
         # (no %4 permutations); pred transposed in XLA unless it already
         # arrives mode-minor from the Pallas prediction kernel.
         kernel = functools.partial(_kernel_mode_minor, h=h, w=w, r=r,
-                                   two_m=two_m, emit=emit)
+                                   two_m=two_m, emit=emit, fused=fused)
         outs = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((s, two_m, tile), lambda i: (0, 0, i),
-                             memory_space=pltpu.VMEM),
+            in_specs=pred_specs + [
                 pl.BlockSpec((h * w, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((w, tile), lambda i: (0, i),
@@ -448,27 +518,25 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(pred if pred_mode_minor else jnp.swapaxes(pred, 0, 1),
-          orig, ref_t, refl_anchor)
+        )(*pred_inputs, orig, ref_t, refl_anchor)
         return _sliced(outs)
 
     # Static %4-group permutations (see _kernel); applied here unless the
     # caller already folded them upstream (inputs_permuted).
     pred_perm, refl_perm, reft_perm, orig_perm = input_perms(h, w, r)
     if not inputs_permuted:
-        pred = pred[:, pred_perm, :]
+        if not fused:
+            pred = pred[:, pred_perm, :]
+            pred_inputs = [pred]
         orig = orig[orig_perm, :]
     refl_anchor = refl_anchor[refl_perm, :]
     ref_t = ref_t[reft_perm, :]
-    pred_block = (two_m, s, tile)
     kernel = functools.partial(_kernel, h=h, w=w, r=r, two_m=two_m,
-                               emit=emit)
+                               emit=emit, fused=fused)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(pred_block, lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
+        in_specs=pred_specs + [
             pl.BlockSpec((h * w, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w, tile), lambda i: (0, i),
@@ -478,14 +546,18 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=([pltpu.VMEM((two_m, tile), jnp.int32)] * 2
-                        if emit != "sad_satd" else []),
+        scratch_shapes=(
+            ([pltpu.VMEM((two_m, tile), jnp.int32)] * 2
+             if emit != "sad_satd" else [])
+            + ([pltpu.VMEM((two_m * s, tile), jnp.int32)] if fused
+               else [])),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * two_m * n_cu * h * w * 4,
-            bytes_accessed=(pred.size + orig.size + ref_t.size
-                            + refl_anchor.size) * 2 + two_m * n_cu * 8,
+            bytes_accessed=(sum(a.size for a in pred_inputs) + orig.size
+                            + ref_t.size + refl_anchor.size) * 2
+                           + two_m * n_cu * 8,
             transcendentals=0,
         ),
-    )(pred, orig, ref_t, refl_anchor)
+    )(*pred_inputs, orig, ref_t, refl_anchor)
     return _sliced(outs)
