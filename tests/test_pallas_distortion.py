@@ -86,11 +86,13 @@ def test_fused_pred_matches_soa(h, w, r, two_m, emit):
     mode_minor = r == 4 and size_id != 0
     bs = 2 if size_id == 0 else 4
     n = 300
-    red_t = jnp.asarray(RNG.integers(0, 1024, (bs, n)), jnp.int32)
-    red_l = jnp.asarray(RNG.integers(0, 1024, (bs, n)), jnp.int32)
     orig = jnp.asarray(RNG.integers(0, 1024, (h * w, n)), jnp.int32)
     ref_t = jnp.asarray(RNG.integers(0, 1024, (w, n)), jnp.int32)
     ref_l = jnp.asarray(RNG.integers(0, 1024, (h, n)), jnp.int32)
+    # SizeId0/1 fused kernels reduce the boundaries in-kernel, so the
+    # reference prediction must use the same reductions.
+    red_t = soa.reduce_boundary(ref_t, bs)
+    red_l = soa.reduce_boundary(ref_l, bs)
 
     pred = soa.reduced_prediction_all_modes(red_t, red_l, size_id)
     if size_id == 0:
@@ -104,11 +106,20 @@ def test_fused_pred_matches_soa(h, w, r, two_m, emit):
                    if size_id == 2 else None)
     mat = jnp.asarray(pallas_pred._augmented_matrix(
         size_id, sample_perm, mode_minor or size_id == 0))
-    limbs = pallas_pred._augmented_inputs(red_t, red_l, size_id)
-    up_v = h // r
+    if size_id < 2:
+        # in-kernel boundary reduce + limb build: pass the full raster
+        # boundaries, no XLA limb stack
+        limbs = None
+        refl = ref_l
+        reft = ref_t
+    else:
+        limbs = pallas_pred._augmented_inputs(red_t, red_l, size_id)
+        up_v = h // r
+        refl = ref_l[up_v - 1::up_v]
+        reft = ref_t
     outs = upsample_distortion(
-        None, orig.astype(jnp.int16), ref_t.astype(jnp.int16),
-        ref_l[up_v - 1::up_v].astype(jnp.int16),
+        None, orig.astype(jnp.int16), reft.astype(jnp.int16),
+        refl.astype(jnp.int16),
         h=h, w=w, r=r, cu_tile=128, interpret=True, emit=emit,
         mat=mat, limbs=limbs, two_m=two_m)
     if emit == "msh_t":

@@ -131,17 +131,16 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
     ref_l = jnp.concatenate(ref_l_parts, axis=-1)  # [h, nCU]
     orig = jnp.concatenate(orig_parts, axis=-1)  # [h*w, nCU] raster
 
-    red_t = soa.reduce_boundary(ref_t, shape.boundary_size)
-    red_l = soa.reduce_boundary(ref_l, shape.boundary_size)
-
     if use_pallas:
-        # The prediction matmul is FUSED into the distortion kernel: one
-        # bf16 MXU dot per CU tile against the augmented matrix (offset
-        # term, rounding, +first and both wings folded in — see
-        # ops/pallas/pred.py), consumed straight from VMEM/registers.
-        # The ~600 MB/frame prediction tensor never exists in HBM.  (An
-        # earlier pre-limb-fold in-kernel matmul measured 2x slower; the
-        # single-dot form with contiguous row-slice consumption wins.)
+        # The whole prediction chain is FUSED into the distortion kernel:
+        # SizeId0/1 kernels take the raw raster boundaries and do the
+        # boundary reduce + limb split + one bf16 MXU dot against the
+        # augmented matrix (offset term, rounding, +first and both wings
+        # folded in — see ops/pallas/pred.py) in-kernel; SizeId2 takes
+        # the XLA-assembled limb stack.  The ~600 MB/frame prediction
+        # tensor never exists in HBM.  (An earlier pre-limb-fold
+        # in-kernel matmul measured 2x slower; the single-dot form with
+        # contiguous row-slice consumption wins.)
         from vvc_mip_gpu_tpu.ops.pallas import pred as pallas_pred
         from vvc_mip_gpu_tpu.ops.pallas.distortion import (
             default_cu_tile, upsample_distortion)
@@ -149,10 +148,17 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
         tile = default_cu_tile(h, w)
         mat = jnp.asarray(pallas_pred._augmented_matrix(
             shape.size_id, pred_perm, mode_minor))
-        limbs = pallas_pred._augmented_inputs(red_t, red_l, shape.size_id)
-        up_v = h // r
-        return upsample_distortion(None, orig, ref_t,
-                                   ref_l[up_v - 1::up_v],
+        if mode_minor:
+            limbs = None
+            refl = ref_l  # full raster boundary, reduced in-kernel
+        else:
+            red_t = soa.reduce_boundary(ref_t, shape.boundary_size)
+            red_l = soa.reduce_boundary(ref_l, shape.boundary_size)
+            limbs = pallas_pred._augmented_inputs(red_t, red_l,
+                                                  shape.size_id)
+            up_v = h // r
+            refl = ref_l[up_v - 1::up_v]
+        return upsample_distortion(None, orig, ref_t, refl,
                                    h=h, w=w, r=r, cu_tile=tile,
                                    inputs_permuted=True,
                                    mat=mat, limbs=limbs,
@@ -160,6 +166,8 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
                                    emit="msh_t" if max_performance
                                    else "sad_satd_t")
 
+    red_t = soa.reduce_boundary(ref_t, shape.boundary_size)
+    red_l = soa.reduce_boundary(ref_l, shape.boundary_size)
     pred = soa.reduced_prediction_all_modes(red_t, red_l, shape.size_id,
                                             sample_perm=pred_perm)
 

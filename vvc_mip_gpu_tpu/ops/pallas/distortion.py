@@ -84,15 +84,64 @@ def input_perms(h: int, w: int, r: int):
     return pred_perm, row_a, col4, orig_perm
 
 
-def _fused_pred(mat_ref, x_ref):
+def _fused_pred(mat_ref, x):
     """In-kernel all-mode reduced prediction: one bf16 MXU dot against the
     augmented matrix (see ops/pallas/pred.py for the folded algebra and
     the bit-exactness argument), epilogue in registers — the prediction
     tensor never exists in HBM.  Returns [rows, tile] int32 in the
     matrix's row order ((m, s) grouped / (s, m) mode-minor)."""
-    acc = jnp.dot(mat_ref[...], x_ref[...],
-                  preferred_element_type=jnp.float32)
+    acc = jnp.dot(mat_ref[...], x, preferred_element_type=jnp.float32)
     return jnp.clip(acc.astype(jnp.int32) >> 6, 0, 1023)
+
+
+def _reduced_rows(ref, n: int, nb: int):
+    """Downsample-average ``ref``'s n rows to nb [1, c] int32 planes
+    (reference boundary reduction, intra.cl:131-140)."""
+    rows = [ref[pl.ds(i, 1)].astype(jnp.int32) for i in range(n)]
+    ds = n // nb
+    if ds == 1:
+        return rows
+    log2 = ds.bit_length() - 1
+    off = 1 << (log2 - 1)
+    return [(sum(rows[i * ds:(i + 1) * ds]) + off) >> log2
+            for i in range(nb)]
+
+
+def _build_limbs(reft_ref, refl_ref, w: int, h: int, bs: int):
+    """In-kernel limb stack [K, c] bf16 for the augmented matrix — the
+    SizeId0/1 boundary reduce + offset/first limb split built from the
+    raw raster boundaries (row order must match
+    pred._augmented_matrix's columns; see pred._augmented_inputs for the
+    XLA twin).  All ops are on [1, c] planes: a handful of adds/shifts,
+    far cheaper in-kernel than an XLA assembly pass through HBM."""
+    red_t = _reduced_rows(reft_ref, w, bs)
+    red_l = _reduced_rows(refl_ref, h, bs)
+
+    def wing(b_first, b_second):
+        bnd = b_first + b_second
+        first = bnd[0]
+        off = [512 - first] + [b - first for b in bnd[1:]]
+        return ([o >> 5 for o in off], [o & 31 for o in off],
+                first >> 5, first & 31)
+
+    hn, ln, fhn, fln = wing(red_t, red_l)
+    ht, lt, fht, flt = wing(red_l, red_t)
+    rows = hn + ln + ht + lt + [fhn, fln, fht, flt, jnp.ones_like(fhn)]
+    rows += [jnp.zeros_like(fhn)] * ((-len(rows)) % 8)
+    return jnp.concatenate(rows, 0).astype(jnp.bfloat16)
+
+
+def _grouped_unrolled(h: int, w: int, two_m: int, fused: bool,
+                      tile: int) -> bool:
+    """Whether the grouped (SizeId2) kernel unrolls its mode loop.
+    Unrolling enlarges Mosaic basic blocks and (fused) lets per-mode
+    predictions be static slices, but Mosaic's stack allocator keeps the
+    unrolled iterations' plane sets live together — bound the estimated
+    footprint (mode bodies x the [h, w, tile] int32 working set) well
+    under the 16 MB scoped-VMEM limit."""
+    if fused:
+        return h * w * tile * 4 * two_m <= (8 << 20)
+    return two_m <= 4 or h * w <= 64
 
 
 def _emit_costs(refs, sad, satd, emit: str):
@@ -115,14 +164,16 @@ def _emit_costs(refs, sad, satd, emit: str):
 def _kernel_sid0(*refs, two_m: int, emit: str, fused: bool):
     """SizeId0 (4x4, no upsampling): the mode axis rides the SUBLANES.
 
-    pred arrives transposed to [16, 2M, tile] (or is computed in-kernel
-    when ``fused``); all 2M modes process in one shot with every op on
-    full-width (2M, lane) tiles — no mode loop, no skinny 4-sublane
-    planes (measured ~3x faster than the looped form for this class)."""
+    pred arrives transposed to [16, 2M, tile] (or is computed in-kernel —
+    including the boundary reduce and limb split — when ``fused``); all
+    2M modes process in one shot with every op on full-width (2M, lane)
+    tiles — no mode loop, no skinny 4-sublane planes (measured ~3x
+    faster than the looped form for this class)."""
     if fused:
-        mat_ref, x_ref, orig_ref, *rest = refs
+        mat_ref, orig_ref, reft_ref, refl_ref, *rest = refs
         c = orig_ref.shape[-1]
-        pred3 = _fused_pred(mat_ref, x_ref).reshape(16, two_m, c)
+        x = _build_limbs(reft_ref, refl_ref, 4, 4, 2)
+        pred3 = _fused_pred(mat_ref, x).reshape(16, two_m, c)
     else:
         pred_ref, orig_ref, *rest = refs
         c = pred_ref.shape[-1]
@@ -171,13 +222,21 @@ def _kernel_mode_minor(*refs, h: int, w: int, r: int, two_m: int,
     slices (half the VPU idle); no %4 sample permutations are needed
     here at all because planes are addressed statically.
     """
+    up_h, up_v = w // r, h // r
     if fused:
-        mat_ref, x_ref, orig_ref, reft_ref, refl_ref, *rest = refs
+        # refl_ref holds the FULL [h, tile] raster left boundary here
+        # (the boundary reduce + limb split run in-kernel).
+        mat_ref, orig_ref, reft_ref, refl_ref, *rest = refs
         c = orig_ref.shape[-1]
-        predv = _fused_pred(mat_ref, x_ref)  # rows (s, m)
+        x = _build_limbs(reft_ref, refl_ref, w, h, 4)
+        predv = _fused_pred(mat_ref, x)  # rows (s, m)
 
         def pred_plane(i):
             return predv[i * two_m:(i + 1) * two_m]
+
+        def lead_row(k):  # left-boundary sample at anchor row k
+            return refl_ref[pl.ds((k + 1) * up_v - 1, 1)].astype(
+                jnp.int32)
     else:
         pred_ref, orig_ref, reft_ref, refl_ref, *rest = refs
         c = pred_ref.shape[-1]
@@ -185,7 +244,9 @@ def _kernel_mode_minor(*refs, h: int, w: int, r: int, two_m: int,
         def pred_plane(i):
             return pred_ref[pl.ds(i, 1)].reshape(two_m, c).astype(
                 jnp.int32)
-    up_h, up_v = w // r, h // r
+
+        def lead_row(k):  # refl_ref holds the [r, tile] anchors here
+            return refl_ref[pl.ds(k, 1)].astype(jnp.int32)
 
     def orig_plane(i):
         return orig_ref[pl.ds(i, 1)].astype(jnp.int32)  # [1, c]
@@ -202,8 +263,8 @@ def _kernel_mode_minor(*refs, h: int, w: int, r: int, two_m: int,
     anchors = [[pred_plane(k * r + j) for j in range(r)] for k in range(r)]
     if up_h > 1:
         # horizontal pass: anchor row k's phase-0 base is the left
-        # boundary sample at that row (refl_ref holds the r anchors)
-        lead = [refl_ref[pl.ds(k, 1)].astype(jnp.int32) for k in range(r)]
+        # boundary sample at that row
+        lead = [lead_row(k) for k in range(r)]
     memo = {}
 
     def hor(k, x):
@@ -250,16 +311,23 @@ def _kernel_mode_minor(*refs, h: int, w: int, r: int, two_m: int,
 def _kernel(*refs, h: int, w: int, r: int, two_m: int, emit: str,
             fused: bool):
     if fused:
-        # The fori_loop below needs dynamic row slices, which Mosaic only
-        # supports on REFS — stage the in-kernel prediction through the
-        # trailing VMEM scratch ref.
         mat_ref, x_ref, orig_ref, reft_ref, refl_ref, *rest = refs
-        *rest, pred_s = rest
-        pred_s[...] = _fused_pred(mat_ref, x_ref)  # rows (m, s)
+        predv = _fused_pred(mat_ref, x_ref[...])  # rows (m, s)
+        if _grouped_unrolled(h, w, two_m, fused, orig_ref.shape[-1]):
+            # Unrolled mode loop: per-mode predictions are static row
+            # slices of the dot result — no staging needed.
+            def load_pred(m):
+                return predv[m * r * r:(m + 1) * r * r].reshape(
+                    r, r, predv.shape[-1])
+        else:
+            # fori_loop needs dynamic row slices, which Mosaic only
+            # supports on REFS — stage through the trailing VMEM scratch.
+            *rest, pred_s = rest
+            pred_s[...] = predv
 
-        def load_pred(m):
-            return pred_s[pl.ds(m * r * r, r * r)].reshape(
-                r, r, pred_s.shape[-1])
+            def load_pred(m):
+                return pred_s[pl.ds(m * r * r, r * r)].reshape(
+                    r, r, pred_s.shape[-1])
     else:
         pred_ref, orig_ref, reft_ref, refl_ref, *rest = refs
 
@@ -288,6 +356,7 @@ def _kernel(*refs, h: int, w: int, r: int, two_m: int, emit: str,
     up_h = w // r
     up_v = h // r
     c = orig_ref.shape[-1]
+    unrolled = _grouped_unrolled(h, w, two_m, fused, c)
     # orig rows arrive y%4-grouped, columns x%4-grouped
     og4 = orig_ref[...].astype(jnp.int32).reshape(4, h // 4, w, c)
     if up_h > 1:
@@ -371,9 +440,9 @@ def _kernel(*refs, h: int, w: int, r: int, two_m: int, emit: str,
         return 0
 
     body, n_iter = mode_body, two_m  # (4x4 routes to _kernel_sid0 instead)
-    if n_iter <= 4 or h * w <= 64:
-        # Few/tiny iterations: unroll statically for bigger Mosaic basic
-        # blocks, no loop overhead.
+    if unrolled:
+        # Unroll statically: bigger Mosaic basic blocks, no loop
+        # overhead, and (fused) static value slices of the prediction.
         for m in range(n_iter):
             body(m, 0)
     else:
@@ -411,11 +480,18 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
     fused = pred is None
     s = r * r
     if fused:
-        # Prediction computed in-kernel from the augmented matrix + limb
-        # stack (see _fused_pred / ops/pallas/pred.py); the pred tensor
-        # never touches HBM.
-        assert mat is not None and limbs is not None and two_m is not None
-        n_pred = limbs.shape[-1]
+        # Prediction computed in-kernel from the augmented matrix (see
+        # _fused_pred / ops/pallas/pred.py); the pred tensor never
+        # touches HBM.  SizeId0/1 build the limb stack in-kernel too
+        # (limbs must be None; refl_anchor must be the FULL [h, nCU]
+        # left boundary); SizeId2 takes the XLA-assembled limbs.
+        assert mat is not None and two_m is not None
+        if sid0 or mode_minor:
+            assert limbs is None, "SizeId0/1 fused kernels build limbs"
+            n_pred = n_in = orig.shape[-1]
+        else:
+            assert limbs is not None
+            n_pred = limbs.shape[-1]
     elif pred_mode_minor:
         assert sid0 or mode_minor, (
             "mode-minor pred layout is a SizeId0/1 option")
@@ -436,9 +512,9 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
             for a in (orig, ref_t, refl_anchor))
     if n_pred == n_in:
         if pad:
-            if fused:
+            if fused and limbs is not None:
                 limbs = jnp.pad(limbs, [(0, 0), (0, pad)])
-            else:
+            elif not fused:
                 pred = jnp.pad(pred, [(0, 0), (0, 0), (0, pad)])
     elif n_pred != n_cu:
         raise ValueError(
@@ -447,13 +523,14 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
 
     if fused:
         rows_m, k_dim = mat.shape
-        pred_inputs = [mat, limbs]
-        pred_specs = [
-            pl.BlockSpec((rows_m, k_dim), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_dim, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ]
+        pred_inputs = [mat]
+        pred_specs = [pl.BlockSpec((rows_m, k_dim), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)]
+        if limbs is not None:
+            pred_inputs.append(limbs)
+            pred_specs.append(pl.BlockSpec((k_dim, tile),
+                                           lambda i: (0, i),
+                                           memory_space=pltpu.VMEM))
     else:
         if (sid0 or mode_minor) and not pred_mode_minor:
             pred = jnp.swapaxes(pred, 0, 1)
@@ -483,7 +560,15 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
         return outs[0][:n_in], outs[1][:n_in]
 
     if sid0:
-        # SizeId0: mode-on-sublanes kernel.
+        # SizeId0: mode-on-sublanes kernel (fused also takes the raw
+        # boundaries for the in-kernel reduce + limb split).
+        bnd_specs = [
+            pl.BlockSpec((w, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ] if fused else []
+        bnd_inputs = (ref_t, refl_anchor) if fused else ()
         outs = pl.pallas_call(
             functools.partial(_kernel_sid0, two_m=two_m, emit=emit,
                               fused=fused),
@@ -491,11 +576,11 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
             in_specs=pred_specs + [
                 pl.BlockSpec((h * w, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-            ],
+            ] + bnd_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(*pred_inputs, orig)
+        )(*pred_inputs, orig, *bnd_inputs)
         return _sliced(outs)
 
     if mode_minor:
@@ -549,7 +634,9 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
         scratch_shapes=(
             ([pltpu.VMEM((two_m, tile), jnp.int32)] * 2
              if emit != "sad_satd" else [])
-            + ([pltpu.VMEM((two_m * s, tile), jnp.int32)] if fused
+            + ([pltpu.VMEM((two_m * s, tile), jnp.int32)]
+               if fused and not _grouped_unrolled(h, w, two_m, fused,
+                                                  tile)
                else [])),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
