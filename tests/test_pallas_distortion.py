@@ -106,22 +106,11 @@ def test_fused_pred_matches_soa(h, w, r, two_m, emit):
                    if size_id == 2 else None)
     mat = jnp.asarray(pallas_pred._augmented_matrix(
         size_id, sample_perm, mode_minor or size_id == 0))
-    if size_id < 2:
-        # in-kernel boundary reduce + limb build: pass the full raster
-        # boundaries, no XLA limb stack
-        limbs = None
-        refl = ref_l
-        reft = ref_t
-    else:
-        limbs = pallas_pred._augmented_inputs(red_t, red_l, size_id)
-        up_v = h // r
-        refl = ref_l[up_v - 1::up_v]
-        reft = ref_t
     outs = upsample_distortion(
-        None, orig.astype(jnp.int16), reft.astype(jnp.int16),
-        refl.astype(jnp.int16),
+        None, orig.astype(jnp.int16), ref_t.astype(jnp.int16),
+        ref_l.astype(jnp.int16),
         h=h, w=w, r=r, cu_tile=128, interpret=True, emit=emit,
-        mat=mat, limbs=limbs, two_m=two_m)
+        mat=mat, two_m=two_m)
     if emit == "msh_t":
         np.testing.assert_array_equal(np.asarray(outs), exp_msh.T)
     else:

@@ -140,18 +140,14 @@ def main():
         ref_t = jnp.concatenate(rts, axis=-1)
         ref_l = jnp.concatenate(rls, axis=-1)
         orig = jnp.concatenate(origs, axis=-1)
-        red_t = soa.reduce_boundary(ref_t, shape.boundary_size)
-        red_l = soa.reduce_boundary(ref_l, shape.boundary_size)
-        limbs = pallas_pred._augmented_inputs(red_t, red_l, shape.size_id)
-        return limbs, orig, ref_t, ref_l
+        return orig, ref_t, ref_l
 
     def stage_a(fr):
         frame_pad, ref_pad, f_frame, f_ref = _padded(fr)
-        return [_class_inputs(frame_pad, ref_pad, cplan, f_frame,
-                              f_ref)[:4]
+        return [_class_inputs(frame_pad, ref_pad, cplan, f_frame, f_ref)
                 for cplan in class_plans(W, H)]
 
-    print(f"stage A (gathers+reduce+limb assembly, all classes): "
+    print(f"stage A (gathers, all classes): "
           f"{device_ms(stage_a, frame):8.2f} ms")
 
     # gathers only (engine path: phase-split where uniform)
@@ -275,31 +271,26 @@ def main():
     vals = staged(frame)
     _sync(vals[-1][0])
     b_total = 0.0
-    for cplan, (limbs, orig, ref_t, ref_l) in zip(class_plans(W, H),
-                                                  vals):
+    for cplan, (orig, ref_t, ref_l) in zip(class_plans(W, H), vals):
         shape = cplan.shape
         h, w, r = shape.height, shape.width, shape.reduced_pred_size
         n_cu = orig.shape[-1]
         tile = default_cu_tile(h, w)
-        up_v = h // r
         two_m = 2 * PRED_MODES[shape.size_id]
         pperm = (tuple(int(v) for v in input_perms(h, w, r)[0])
                  if shape.size_id == 2 else None)
         mat = jnp.asarray(pallas_pred._augmented_matrix(
             shape.size_id, pperm, shape.size_id < 2))
-        args = [jax.device_put(a) for a in
-                (limbs, orig, ref_t, ref_l[up_v - 1::up_v], mat)]
+        args = [jax.device_put(a) for a in (orig, ref_t, ref_l, mat)]
 
         def body(o, _args=args, _h=h, _w=w, _r=r, _tile=tile,
                  _two_m=two_m):
-            # o (int16 orig) is the xor-perturbed input; limbs are bf16
-            # (xor-hostile) but the pallas call re-runs regardless.
             return upsample_distortion(
-                None, o, *_args[2:4], h=_h, w=_w, r=_r, cu_tile=_tile,
-                inputs_permuted=True, mat=_args[4], limbs=_args[0],
+                None, o, _args[1], _args[2], h=_h, w=_w, r=_r,
+                cu_tile=_tile, inputs_permuted=True, mat=_args[3],
                 two_m=_two_m, emit="msh_t")
 
-        ms = device_ms(body, args[1])
+        ms = device_ms(body, args[0])
         b_total += ms
         print(f"  class {w:3d}x{h:<3d} sid{shape.size_id} nCU={n_cu:6d} "
               f"2M={two_m:2d} tile={tile:4d}: {ms:7.2f} ms")

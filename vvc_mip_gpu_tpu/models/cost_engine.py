@@ -133,14 +133,14 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
 
     if use_pallas:
         # The whole prediction chain is FUSED into the distortion kernel:
-        # SizeId0/1 kernels take the raw raster boundaries and do the
+        # every kernel takes the raw raster boundaries and does the
         # boundary reduce + limb split + one bf16 MXU dot against the
         # augmented matrix (offset term, rounding, +first and both wings
-        # folded in — see ops/pallas/pred.py) in-kernel; SizeId2 takes
-        # the XLA-assembled limb stack.  The ~600 MB/frame prediction
-        # tensor never exists in HBM.  (An earlier pre-limb-fold
-        # in-kernel matmul measured 2x slower; the single-dot form with
-        # contiguous row-slice consumption wins.)
+        # folded in — see ops/pallas/pred.py) in-kernel.  Neither the
+        # limb stack nor the ~600 MB/frame prediction tensor ever exists
+        # in HBM.  (An earlier pre-limb-fold in-kernel matmul measured
+        # 2x slower; the single-dot form with contiguous row-slice
+        # consumption wins.)
         from vvc_mip_gpu_tpu.ops.pallas import pred as pallas_pred
         from vvc_mip_gpu_tpu.ops.pallas.distortion import (
             default_cu_tile, upsample_distortion)
@@ -148,20 +148,9 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
         tile = default_cu_tile(h, w)
         mat = jnp.asarray(pallas_pred._augmented_matrix(
             shape.size_id, pred_perm, mode_minor))
-        if mode_minor:
-            limbs = None
-            refl = ref_l  # full raster boundary, reduced in-kernel
-        else:
-            red_t = soa.reduce_boundary(ref_t, shape.boundary_size)
-            red_l = soa.reduce_boundary(ref_l, shape.boundary_size)
-            limbs = pallas_pred._augmented_inputs(red_t, red_l,
-                                                  shape.size_id)
-            up_v = h // r
-            refl = ref_l[up_v - 1::up_v]
-        return upsample_distortion(None, orig, ref_t, refl,
+        return upsample_distortion(None, orig, ref_t, ref_l,
                                    h=h, w=w, r=r, cu_tile=tile,
-                                   inputs_permuted=True,
-                                   mat=mat, limbs=limbs,
+                                   inputs_permuted=True, mat=mat,
                                    two_m=2 * PRED_MODES[shape.size_id],
                                    emit="msh_t" if max_performance
                                    else "sad_satd_t")

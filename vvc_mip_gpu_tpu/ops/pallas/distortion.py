@@ -94,10 +94,12 @@ def _fused_pred(mat_ref, x):
     return jnp.clip(acc.astype(jnp.int32) >> 6, 0, 1023)
 
 
-def _reduced_rows(ref, n: int, nb: int):
+def _reduced_rows(ref, n: int, nb: int, order=None):
     """Downsample-average ``ref``'s n rows to nb [1, c] int32 planes
-    (reference boundary reduction, intra.cl:131-140)."""
-    rows = [ref[pl.ds(i, 1)].astype(jnp.int32) for i in range(n)]
+    (reference boundary reduction, intra.cl:131-140).  ``order[i]``:
+    static position of raster row i when ``ref`` arrives permuted."""
+    rows = [ref[pl.ds(int(order[i]) if order is not None else i, 1)]
+            .astype(jnp.int32) for i in range(n)]
     ds = n // nb
     if ds == 1:
         return rows
@@ -107,20 +109,24 @@ def _reduced_rows(ref, n: int, nb: int):
             for i in range(nb)]
 
 
-def _build_limbs(reft_ref, refl_ref, w: int, h: int, bs: int):
+def _build_limbs(reft_ref, refl_ref, w: int, h: int, bs: int,
+                 dc_row0: bool = True, t_order=None):
     """In-kernel limb stack [K, c] bf16 for the augmented matrix — the
-    SizeId0/1 boundary reduce + offset/first limb split built from the
-    raw raster boundaries (row order must match
-    pred._augmented_matrix's columns; see pred._augmented_inputs for the
-    XLA twin).  All ops are on [1, c] planes: a handful of adds/shifts,
-    far cheaper in-kernel than an XLA assembly pass through HBM."""
-    red_t = _reduced_rows(reft_ref, w, bs)
+    boundary reduce + offset/first limb split built from the raster
+    boundaries (row order must match pred._augmented_matrix's columns;
+    see pred._augmented_inputs for the XLA twin).  All ops are on [1, c]
+    planes: a handful of adds/shifts, far cheaper in-kernel than an XLA
+    assembly pass through HBM.  ``dc_row0``: SizeId0/1's 512-first first
+    offset (SizeId2 uses 0, intra.cl:443-446).  ``t_order``: static
+    position-of-raw-row-i map when reft_ref arrives %4-permuted."""
+    red_t = _reduced_rows(reft_ref, w, bs, t_order)
     red_l = _reduced_rows(refl_ref, h, bs)
 
     def wing(b_first, b_second):
         bnd = b_first + b_second
         first = bnd[0]
-        off = [512 - first] + [b - first for b in bnd[1:]]
+        row0 = (512 - first) if dc_row0 else jnp.zeros_like(first)
+        off = [row0] + [b - first for b in bnd[1:]]
         return ([o >> 5 for o in off], [o & 31 for o in off],
                 first >> 5, first & 31)
 
@@ -311,8 +317,15 @@ def _kernel_mode_minor(*refs, h: int, w: int, r: int, two_m: int,
 def _kernel(*refs, h: int, w: int, r: int, two_m: int, emit: str,
             fused: bool):
     if fused:
-        mat_ref, x_ref, orig_ref, reft_ref, refl_ref, *rest = refs
-        predv = _fused_pred(mat_ref, x_ref[...])  # rows (m, s)
+        # refl_ref holds the FULL [h, tile] RASTER left boundary; reft_ref
+        # arrives %4-permuted (its interpolation consumer wants that) and
+        # is statically un-permuted for the in-kernel boundary reduce.
+        mat_ref, orig_ref, reft_ref, refl_ref, *rest = refs
+        _, _, reft_perm, _ = input_perms(h, w, r)
+        inv_t = tuple(int(v) for v in np.argsort(reft_perm))
+        x = _build_limbs(reft_ref, refl_ref, w, h, 4, dc_row0=False,
+                         t_order=inv_t)
+        predv = _fused_pred(mat_ref, x)  # rows (m, s)
         if _grouped_unrolled(h, w, two_m, fused, orig_ref.shape[-1]):
             # Unrolled mode loop: per-mode predictions are static row
             # slices of the dot result — no staging needed.
@@ -359,8 +372,17 @@ def _kernel(*refs, h: int, w: int, r: int, two_m: int, emit: str,
     unrolled = _grouped_unrolled(h, w, two_m, fused, c)
     # orig rows arrive y%4-grouped, columns x%4-grouped
     og4 = orig_ref[...].astype(jnp.int32).reshape(4, h // 4, w, c)
+    up_v_ = h // r
     if up_h > 1:
-        lead = refl_ref[...].astype(jnp.int32).reshape(r, 1, c)
+        if fused:
+            # anchor k's left sample from the full raster boundary, in
+            # the kernel's (row_a-permuted) anchor order
+            row_a = input_perms(h, w, r)[1]
+            lead = jnp.concatenate(
+                [refl_ref[pl.ds(int((row_a[k] + 1) * up_v_ - 1), 1)]
+                 for k in range(r)], 0).astype(jnp.int32).reshape(r, 1, c)
+        else:
+            lead = refl_ref[...].astype(jnp.int32).reshape(r, 1, c)
     if up_v > 1:
         top = reft_ref[...].astype(jnp.int32).reshape(1, w, c)
 
@@ -456,8 +478,7 @@ def _kernel(*refs, h: int, w: int, r: int, two_m: int, emit: str,
 def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
                         cu_tile=None, interpret=False,
                         inputs_permuted=False, pred_mode_minor=False,
-                        emit="sad_satd", mat=None, limbs=None,
-                        two_m=None):
+                        emit="sad_satd", mat=None, two_m=None):
     """Fused upsample+SAD+SATD for one class.
 
     pred: [2M, R*R, nCU] int16 reduced predictions (raster sample order).
@@ -480,18 +501,14 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
     fused = pred is None
     s = r * r
     if fused:
-        # Prediction computed in-kernel from the augmented matrix (see
-        # _fused_pred / ops/pallas/pred.py); the pred tensor never
-        # touches HBM.  SizeId0/1 build the limb stack in-kernel too
-        # (limbs must be None; refl_anchor must be the FULL [h, nCU]
-        # left boundary); SizeId2 takes the XLA-assembled limbs.
+        # The whole prediction chain runs in-kernel: boundary reduce +
+        # limb split + one MXU dot against the augmented matrix (see
+        # _build_limbs / _fused_pred / ops/pallas/pred.py); neither the
+        # limb stack nor the pred tensor ever touches HBM.  refl_anchor
+        # must be the FULL [h, nCU] raster left boundary.
         assert mat is not None and two_m is not None
-        if sid0 or mode_minor:
-            assert limbs is None, "SizeId0/1 fused kernels build limbs"
-            n_pred = n_in = orig.shape[-1]
-        else:
-            assert limbs is not None
-            n_pred = limbs.shape[-1]
+        assert refl_anchor.shape[0] == h, "fused kernels need full ref_l"
+        n_pred = n_in = orig.shape[-1]
     elif pred_mode_minor:
         assert sid0 or mode_minor, (
             "mode-minor pred layout is a SizeId0/1 option")
@@ -511,11 +528,8 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
             jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
             for a in (orig, ref_t, refl_anchor))
     if n_pred == n_in:
-        if pad:
-            if fused and limbs is not None:
-                limbs = jnp.pad(limbs, [(0, 0), (0, pad)])
-            elif not fused:
-                pred = jnp.pad(pred, [(0, 0), (0, 0), (0, pad)])
+        if pad and not fused:
+            pred = jnp.pad(pred, [(0, 0), (0, 0), (0, pad)])
     elif n_pred != n_cu:
         raise ValueError(
             f"pred CU axis {n_pred} matches neither nCU {n_in} nor the "
@@ -526,11 +540,6 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
         pred_inputs = [mat]
         pred_specs = [pl.BlockSpec((rows_m, k_dim), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)]
-        if limbs is not None:
-            pred_inputs.append(limbs)
-            pred_specs.append(pl.BlockSpec((k_dim, tile),
-                                           lambda i: (0, i),
-                                           memory_space=pltpu.VMEM))
     else:
         if (sid0 or mode_minor) and not pred_mode_minor:
             pred = jnp.swapaxes(pred, 0, 1)
@@ -614,7 +623,9 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
             pred = pred[:, pred_perm, :]
             pred_inputs = [pred]
         orig = orig[orig_perm, :]
-    refl_anchor = refl_anchor[refl_perm, :]
+    if not fused:
+        # fused keeps the full raster ref_l (anchors picked in-kernel)
+        refl_anchor = refl_anchor[refl_perm, :]
     ref_t = ref_t[reft_perm, :]
     kernel = functools.partial(_kernel, h=h, w=w, r=r, two_m=two_m,
                                emit=emit, fused=fused)
@@ -626,7 +637,7 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, tile), lambda i: (0, i),
+            pl.BlockSpec((refl_anchor.shape[0], tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
