@@ -143,15 +143,17 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
         # consumption wins.)
         from vvc_mip_gpu_tpu.ops.pallas import pred as pallas_pred
         from vvc_mip_gpu_tpu.ops.pallas.distortion import (
-            default_cu_tile, upsample_distortion)
+            default_cu_tile, fused_cu_tile, upsample_distortion)
 
-        tile = default_cu_tile(h, w)
+        two_m = 2 * PRED_MODES[shape.size_id]
+        tile = (default_cu_tile(h, w) if mode_minor
+                else fused_cu_tile(h, w, two_m))
         mat = jnp.asarray(pallas_pred._augmented_matrix(
             shape.size_id, pred_perm, mode_minor))
         return upsample_distortion(None, orig, ref_t, ref_l,
                                    h=h, w=w, r=r, cu_tile=tile,
                                    inputs_permuted=True, mat=mat,
-                                   two_m=2 * PRED_MODES[shape.size_id],
+                                   two_m=two_m,
                                    emit="msh_t" if max_performance
                                    else "sad_satd_t")
 

@@ -44,6 +44,18 @@ def default_cu_tile(h: int, w: int) -> int:
     return max(128, (tile // 128) * 128)
 
 
+def fused_cu_tile(h: int, w: int, two_m: int) -> int:
+    """CU tile for the FUSED grouped (SizeId2) kernel: the largest
+    power-of-two tile that keeps the unrolled mode loop inside the
+    _grouped_unrolled VMEM byte bound — measured faster than a bigger
+    tile with the fori_loop (e.g. 16x16: 0.26 ms @512 unrolled vs
+    0.43 @1024 looped).  64x64 can't unroll even at 128 and keeps the
+    loop."""
+    bound = (8 << 20) // (h * w * 4 * two_m)
+    return max(128, min(default_cu_tile(h, w),
+                        _round_down_pow2(max(bound, 1)) // 128 * 128))
+
+
 def _hadamard4(parts):
     """4-point Hadamard butterfly (rows [1111, 11-1-1, 1-1-11, 1-11-1])."""
     x0, x1, x2, x3 = parts
