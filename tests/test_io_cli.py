@@ -96,6 +96,57 @@ def test_cli_resume_skips_existing(tmp_path, capsys):
             pd.read_csv(tmp_path / f"r_mip_decisions_poc{f}.csv"), first[f])
 
 
+def test_cli_target_ctu_multiframe_file(tmp_path):
+    """--TargetCTU writes one POC-columned CSV accumulating the target
+    CTU across all frames (reference reportTargetDistortionValues_File,
+    main_aux_functions.h:843-906)."""
+    from vvc_mip_gpu_tpu import cli
+
+    rc = cli.main(["-f", "2", "-s", "256x128", "--Synthetic",
+                   "--TargetCTU", "1", "-l", str(tmp_path / "t_")])
+    assert rc == 0
+    df = pd.read_csv(tmp_path / "t_target_ctu1.csv")
+    assert list(df.columns) == ["POC", "CTU", "cuSizeName", "W", "H", "CU",
+                                "X", "Y", "Mode", "SAD", "SATD", "minSadHad"]
+    assert len(df) == 2 * export.DIST_PER_CTU
+    assert df.POC.tolist() == [0] * export.DIST_PER_CTU + \
+        [1] * export.DIST_PER_CTU
+    assert (df.CTU == 1).all()
+    # Absolute positions: CTU 1 of a 256-wide frame sits at X base 128.
+    assert df.iloc[0].X == 128 and df.iloc[0].Y == 0
+    # The slab values match the per-frame decisions logs' CTU-1 slabs.
+    for f in range(2):
+        dec = pd.read_csv(tmp_path / f"t_mip_decisions_poc{f}.csv")
+        np.testing.assert_array_equal(
+            df.minSadHad[f * export.DIST_PER_CTU:
+                         (f + 1) * export.DIST_PER_CTU].to_numpy(),
+            dec.minSadHad[export.DIST_PER_CTU:].to_numpy())
+
+
+def test_cli_sharded_per_frame_resume(tmp_path, capsys):
+    import jax
+    import pytest
+
+    if jax.device_count() < 2:
+        pytest.skip("not enough devices")
+    from vvc_mip_gpu_tpu import cli
+
+    args = ["-f", "3", "-s", "128x128", "--Synthetic",
+            "--MeshData", "2", "-l", str(tmp_path / "p_")]
+    assert cli.main(args) == 0
+    first = [pd.read_csv(tmp_path / f"p_mip_decisions_poc{f}.csv")
+             for f in range(3)]
+    # Drop frame 1's log; per-frame resume must recompute ONLY frame 1
+    # (padding the batch to the data-axis multiple internally).
+    (tmp_path / "p_mip_decisions_poc1.csv").unlink()
+    capsys.readouterr()
+    assert cli.main(args + ["--Resume"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("skipping frame") == 2
+    back = pd.read_csv(tmp_path / "p_mip_decisions_poc1.csv")
+    pd.testing.assert_frame_equal(back, first[1])
+
+
 def test_cli_sharded_mesh_and_resume(tmp_path, capsys):
     import jax
     import pytest

@@ -54,9 +54,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Data-parallel (frame) mesh axis size")
     p.add_argument("--MeshSpace", type=int, default=1,
                    help="Spatial (CTU-row) mesh axis size")
+    p.add_argument("--Coordinator", type=str, default=None,
+                   help="Multi-host: coordinator address host:port "
+                        "(jax.distributed); one process per host")
+    p.add_argument("--NumProcesses", type=int, default=1,
+                   help="Multi-host: total number of processes")
+    p.add_argument("--ProcessId", type=int, default=0,
+                   help="Multi-host: this process's index")
     p.add_argument("--TargetCTU", type=int, default=None,
-                   help="Print the distortion table of this CTU "
-                        "(reference reportDistortionOnlyTarget)")
+                   help="Print the distortion table of this CTU and write "
+                        "a multi-frame POC-columned CSV for it "
+                        "(reference reportDistortionOnlyTarget / "
+                        "reportTargetDistortionValues_File)")
+    p.add_argument("--BatchFrames", type=int, default=8,
+                   help="Frames kept in flight per dispatch window "
+                        "(the analog of the reference's BUFFER_SLOTS "
+                        "pipelining; 8 measured optimal on TPU v5e)")
     p.add_argument("--Resume", action="store_true",
                    help="Skip frames whose decisions CSV already exists "
                         "(checkpoint/resume for long multi-frame runs)")
@@ -81,6 +94,10 @@ def _config_from_args(args) -> EngineConfig:
         trace_power=args.TracePower,
         mesh_data=args.MeshData,
         mesh_space=args.MeshSpace,
+        batch_frames=args.BatchFrames,
+        coordinator=args.Coordinator,
+        num_processes=args.NumProcesses,
+        process_id=args.ProcessId,
     )
     cfg.validate()
     return cfg
@@ -91,6 +108,8 @@ def run(cfg: EngineConfig, synthetic: bool = False,
     from vvc_mip_gpu_tpu.io import export, frames as fio
 
     _enable_compilation_cache()
+    if cfg.num_processes > 1:
+        return _run_distributed(cfg, synthetic=synthetic, resume=resume)
     timer = StageTimer(trace_power=cfg.trace_power)
     if cfg.trace_power:
         print_timestamp("STARTED HOST")
@@ -117,6 +136,20 @@ def run(cfg: EngineConfig, synthetic: bool = False,
             print(timer.report_compact(cfg.n_frames))
             return 0
 
+    # Multi-frame target-CTU accumulation (one POC-columned CSV at the
+    # end; reference reportTargetDistortionValues_File,
+    # main_aux_functions.h:843-906).
+    tgt_msh: dict[int, np.ndarray] = {}
+    tgt_sad: dict[int, np.ndarray] = {}
+    tgt_satd: dict[int, np.ndarray] = {}
+
+    def _collect_target(f, msh, sad, satd):
+        if target_ctu is None:
+            return
+        tgt_msh[f] = np.asarray(msh[target_ctu])
+        tgt_sad[f] = None if sad is None else np.asarray(sad[target_ctu])
+        tgt_satd[f] = None if satd is None else np.asarray(satd[target_ctu])
+
     if cfg.mesh_data * cfg.mesh_space > 1:
         import os
 
@@ -124,34 +157,46 @@ def run(cfg: EngineConfig, synthetic: bool = False,
 
         from vvc_mip_gpu_tpu.parallel import ShardedMipCostEngine, make_mesh
 
-        if resume and all(os.path.exists(_out_path(cfg, f))
-                          for f in range(cfg.n_frames)):
-            # The sharded path computes the whole batch in one dispatch, so
-            # resume granularity is all-or-nothing: skip only when every
-            # frame's decisions CSV already exists.
+        # Per-frame resume: compute only the frames whose decisions CSV is
+        # missing, padding the batch up to a multiple of the data axis by
+        # repeating the last pending frame (dropped after compute).
+        pending = [f for f in range(cfg.n_frames)
+                   if not (resume and os.path.exists(_out_path(cfg, f)))]
+        for f in range(cfg.n_frames):
+            if f not in pending:
+                print(f"skipping frame {f} (exists: {_out_path(cfg, f)})")
+        if not pending:
             print(f"all {cfg.n_frames} decision logs exist; nothing to do")
             return 0
+        batch = list(pending)
+        while len(batch) % cfg.mesh_data:
+            batch.append(pending[-1])
         mesh = make_mesh(cfg.mesh_data, cfg.mesh_space)
         engine = ShardedMipCostEngine(cfg.width, cfg.height, mesh,
                                       max_performance=cfg.max_performance)
         with timer.stage("ENQUEUE KERNELS"):
-            costs = engine(frames.astype(np.int32),
+            costs = engine(frames[batch].astype(np.int32),
                            None if ref_frames is None
-                           else ref_frames.astype(np.int32))
+                           else ref_frames[batch].astype(np.int32))
             jax.block_until_ready(costs.min_sad_had)
         with timer.stage("READ DISTORTION"):
-            msh = np.asarray(costs.min_sad_had)[:, :engine.n_ctus]
+            # Slice to the TRUE CTU count: spatial padding can add whole
+            # phantom CTU rows when space > ceil(H/128)/rows.
+            from vvc_mip_gpu_tpu.constants import num_ctus
+
+            true_n = num_ctus(cfg.width, cfg.height)[2]
+            msh = np.asarray(costs.min_sad_had)[:, :true_n]
             sad = satd = None
             if not cfg.max_performance:
-                sad = np.asarray(costs.sad)
-                satd = np.asarray(costs.satd)
-        for f in range(cfg.n_frames):
-            if resume and os.path.exists(_out_path(cfg, f)):
-                print(f"skipping frame {f} export (exists)")
-                continue
-            _export_frame(cfg, export, msh[f],
-                          None if sad is None else sad[f],
-                          None if satd is None else satd[f], poc=f)
+                sad = np.asarray(costs.sad)[:, :true_n]
+                satd = np.asarray(costs.satd)[:, :true_n]
+        for b, f in enumerate(pending):
+            _export_frame(cfg, export, msh[b],
+                          None if sad is None else sad[b],
+                          None if satd is None else satd[b], poc=f)
+            _collect_target(f, msh[b],
+                            None if sad is None else sad[b],
+                            None if satd is None else satd[b])
     else:
         from vvc_mip_gpu_tpu.models.cost_engine import MipCostEngine
 
@@ -161,7 +206,7 @@ def run(cfg: EngineConfig, synthetic: bool = False,
         # flight so frame N+1 computes while frame N reads back — the
         # analog of the reference's BUFFER_SLOTS circular buffer + async
         # write queue (main_aux_functions.h:5, main.cpp:886-898).
-        window = max(2, cfg.batch_frames)
+        window = max(2, cfg.batch_frames)  # CLI --BatchFrames (default 8)
         in_flight: list[tuple[int, object]] = []
 
         def drain(slot):
@@ -173,6 +218,7 @@ def run(cfg: EngineConfig, synthetic: bool = False,
                 satd = (None if cfg.max_performance
                         else np.asarray(costs.satd))
             _export_frame(cfg, export, msh, sad, satd, poc=f)
+            _collect_target(f, msh, sad, satd)
             if target_ctu is not None:
                 from vvc_mip_gpu_tpu.models.inspect import report_target_ctu
 
@@ -197,26 +243,85 @@ def run(cfg: EngineConfig, synthetic: bool = False,
         while in_flight:
             drain(in_flight.pop(0))
 
+    if target_ctu is not None and tgt_msh:
+        from vvc_mip_gpu_tpu.io.export import export_target_ctu_csv
+
+        pocs = sorted(tgt_msh)
+        tpath = f"{cfg.output_prefix}target_ctu{target_ctu}.csv"
+        export_target_ctu_csv(
+            tpath, [tgt_msh[f] for f in pocs], cfg.width, target_ctu,
+            sad_per_frame=[tgt_sad[f] for f in pocs],
+            satd_per_frame=[tgt_satd[f] for f in pocs], pocs=pocs)
+        print(f"wrote {tpath}")
+
     print(timer.report())
     print(timer.report_compact(cfg.n_frames))
     return 0
 
 
 def _enable_compilation_cache() -> None:
-    """Persist XLA compilations across runs (~20-40 s saved per warm
-    start); the reference pays its clBuildProgram JIT on every run."""
+    from vvc_mip_gpu_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+
+def _run_distributed(cfg: EngineConfig, synthetic: bool,
+                     resume: bool) -> int:
+    """Multi-host path: init jax.distributed, build the DCN-aware global
+    mesh, host-sharded ingest (each process reads only its own frame
+    range), one global GSPMD dispatch, per-host decisions export.
+
+    The reference has no multi-device story at all (main.cpp:217-228);
+    this is the build's declared scaling axis (SURVEY §2.2/§5).
+    """
     import os
 
-    import jax
+    import numpy as np
 
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("VVC_MIP_CACHE_DIR",
-                           os.path.expanduser("~/.cache/vvc_mip_tpu_xla")))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # older jax or read-only home: run uncached
+    from vvc_mip_gpu_tpu.io import export, frames as fio
+    from vvc_mip_gpu_tpu.parallel import distributed as dist
+
+    dist.initialize(cfg.coordinator, cfg.num_processes, cfg.process_id)
+    timer = StageTimer(trace_power=cfg.trace_power)
+    mesh = dist.make_global_mesh(cfg.mesh_space)
+    runner = dist.DistributedRunner(cfg.width, cfg.height, mesh,
+                                    max_performance=cfg.max_performance)
+    sl = runner.frame_slice(cfg.n_frames)
+    with timer.stage("READ SAMPLES"):
+        if synthetic or cfg.input_path is None:
+            local = fio.synthetic_frames(
+                cfg.n_frames, cfg.width, cfg.height)[list(sl)]
+        else:
+            local = fio.read_frames_csv(cfg.input_path, cfg.width,
+                                        cfg.height, len(sl), start=sl.start)
+    refs = None
+    if cfg.filter_type is not None:
+        from vvc_mip_gpu_tpu.ops.filters import filter_frame
+
+        with timer.stage("ENQUEUE FILTER"):
+            refs = np.stack([
+                np.asarray(filter_frame(f, cfg.filter_type, cfg.kernel_idx))
+                for f in local]) if len(local) else None
+    with timer.stage("ENQUEUE KERNELS"):
+        costs = runner.compute(local.astype(np.int32), cfg.n_frames,
+                               None if refs is None
+                               else refs.astype(np.int32))
+    with timer.stage("READ DISTORTION"):
+        results = list(runner.local_results(costs, cfg.n_frames))
+    from vvc_mip_gpu_tpu.constants import num_ctus
+
+    true_n_ctus = num_ctus(cfg.width, cfg.height)[2]
+    for poc, msh, sad, satd in results:
+        if resume and os.path.exists(_out_path(cfg, poc)):
+            print(f"skipping frame {poc} (exists)")
+            continue
+        _export_frame(cfg, export, msh[:true_n_ctus],
+                      None if sad is None else sad[:true_n_ctus],
+                      None if satd is None else satd[:true_n_ctus],
+                      poc=poc)
+    print(f"[process {cfg.process_id}] exported {len(results)} frames")
+    print(timer.report_compact(max(len(results), 1)))
+    return 0
 
 
 def _out_path(cfg, poc) -> str:
@@ -233,6 +338,15 @@ def _export_frame(cfg, export, msh, sad, satd, poc):
 
 
 def main(argv=None) -> int:
+    import os
+
+    if os.environ.get("VVC_MIP_PLATFORM"):
+        # The environment's sitecustomize imports jax early and snapshots
+        # JAX_PLATFORMS, so a CPU run (e.g. the multi-process test rig)
+        # must override through jax.config before backend init.
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["VVC_MIP_PLATFORM"])
     args = build_parser().parse_args(argv)
     cfg = _config_from_args(args)
     return run(cfg, synthetic=args.Synthetic, target_ctu=args.TargetCTU,

@@ -122,6 +122,57 @@ def export_decisions_csv(path: str | Path, min_sad_had: np.ndarray,
     pd.DataFrame(cols).to_csv(path, index=False)
 
 
+def export_target_ctu_csv(path: str | Path,
+                          msh_per_frame: list[np.ndarray],
+                          frame_width: int, target_ctu: int,
+                          sad_per_frame: list[np.ndarray] | None = None,
+                          satd_per_frame: list[np.ndarray] | None = None,
+                          pocs: list[int] | None = None) -> None:
+    """One TARGET CTU across ALL frames in a single POC-columned CSV —
+    the reference's reportTargetDistortionValues_File
+    (main_aux_functions.h:843-906): header
+    POC,CTU,cuSizeName,W,H,CU,X,Y,Mode,SAD,SATD,minSadHad, frames outer,
+    then the same group/CU/mode row order as the per-frame decisions log,
+    with absolute CU positions (CTU base + in-CTU offset).
+
+    ``msh_per_frame``: one [DIST_PER_CTU] slab (the target CTU's row of
+    FrameCosts.min_sad_had) per frame.  SAD/SATD default to zeros,
+    mirroring the reference's MAX_PERFORMANCE_DIST never-read-back
+    buffers (main_aux_functions.h:591-619).
+    """
+    import pandas as pd
+
+    n_frames = len(msh_per_frame)
+    if pocs is None:
+        pocs = list(range(n_frames))
+    names, w, h, cu, x_in, y_in, mode = _per_ctu_columns()
+    ctu_cols = -(-frame_width // CTU_SIZE)
+    ctu_x = (target_ctu % ctu_cols) * CTU_SIZE
+    ctu_y = (target_ctu // ctu_cols) * CTU_SIZE
+    zeros = np.zeros(DIST_PER_CTU, np.int64)
+
+    def _slab(per_frame, f):
+        if per_frame is None or per_frame[f] is None:
+            return zeros
+        return np.asarray(per_frame[f], np.int64).ravel()
+
+    frames = []
+    for f in range(n_frames):
+        frames.append(pd.DataFrame({
+            "POC": np.full(DIST_PER_CTU, pocs[f], np.int32),
+            "CTU": np.full(DIST_PER_CTU, target_ctu, np.int32),
+            "cuSizeName": names,
+            "W": w, "H": h, "CU": cu,
+            "X": ctu_x + x_in,
+            "Y": ctu_y + y_in,
+            "Mode": mode,
+            "SAD": _slab(sad_per_frame, f),
+            "SATD": _slab(satd_per_frame, f),
+            "minSadHad": _slab(msh_per_frame, f),
+        }))
+    pd.concat(frames, ignore_index=True).to_csv(path, index=False)
+
+
 def decide_best_modes(min_sad_had: np.ndarray):
     """Per-CU argmin over modes — the decision the reference leaves to the
     log consumer (SURVEY.md §0).  Returns {group_index: (best_mode, best

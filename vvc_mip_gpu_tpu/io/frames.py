@@ -17,9 +17,13 @@ import numpy as np
 
 
 def read_frames_csv(path: str | Path, width: int, height: int,
-                    n_frames: int) -> np.ndarray:
-    """Read [n_frames, height, width] uint16 samples."""
+                    n_frames: int, start: int = 0) -> np.ndarray:
+    """Read [n_frames, height, width] uint16 samples, skipping the first
+    ``start`` frames (host-sharded ingest: each host of a distributed run
+    reads only its own frame range)."""
     try:
+        if start:
+            raise ImportError  # native reader has no skip; use pandas
         from vvc_mip_gpu_tpu.io import native  # optional C fast path
 
         data = native.read_samples_csv(str(path), width, height * n_frames)
@@ -27,7 +31,7 @@ def read_frames_csv(path: str | Path, width: int, height: int,
         import pandas as pd
 
         df = pd.read_csv(path, header=None, nrows=height * n_frames,
-                         dtype=np.uint16)
+                         skiprows=start * height, dtype=np.uint16)
         data = df.to_numpy(np.uint16)
     if data.shape != (height * n_frames, width):
         raise ValueError(

@@ -30,10 +30,21 @@ def make_mesh(n_data: int, n_space: int, devices=None) -> Mesh:
     return Mesh(arr, axis_names=("data", "space"))
 
 
-def factor_devices(n_devices: int) -> tuple[int, int]:
-    """Pick a (data, space) factorization: prefer 2-way spatial sharding
-    (halo traffic grows with space shards; frames are fully independent)."""
-    for space in (2, 3, 1):
-        if n_devices % space == 0:
+def factor_devices(n_devices: int, n_frames: int | None = None
+                   ) -> tuple[int, int]:
+    """Pick a (data, space) factorization.
+
+    Frames are embarrassingly parallel while spatial sharding pays a halo
+    exchange plus padded-CTU-row overhead, so the throughput default is
+    PURE frame parallelism (space=1).  Spatial sharding is engaged only
+    when there are fewer frames than devices (latency mode: a single
+    frame still uses every chip).
+    """
+    if n_frames is None or n_frames >= n_devices:
+        return n_devices, 1
+    n_frames = max(n_frames, 1)
+    # Smallest space shard count that keeps every chip busy.
+    for space in range(1, n_devices + 1):
+        if n_devices % space == 0 and n_devices // space <= n_frames:
             return n_devices // space, space
     return n_devices, 1

@@ -41,9 +41,13 @@ class EngineConfig:
     only_filter: bool = False
     max_performance: bool = True
     trace_power: bool = False
-    batch_frames: int = 1
+    batch_frames: int = 8  # pipelining window; 8 measured optimal on v5e
     mesh_data: int = 1
     mesh_space: int = 1
+    # Multi-host (jax.distributed): one process per host.
+    coordinator: str | None = None
+    num_processes: int = 1
+    process_id: int = 0
 
     @classmethod
     def parse_resolution(cls, text: str) -> tuple[int, int]:
