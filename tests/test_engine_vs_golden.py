@@ -56,6 +56,49 @@ def test_max_performance_min_sad_had_matches():
                                   np.asarray(full.min_sad_had))
 
 
+@pytest.mark.parametrize("max_performance", [True, False])
+def test_pallas_engine_wiring_interpret(max_performance):
+    """The engine-level Pallas branch (augmented-matrix construction,
+    permutation folding, emit plumbing in _class_costs) vs the golden
+    model, with the kernels in interpret mode — so this wiring is covered
+    by the default CPU run, not only the tpu-marked tests."""
+    from vvc_mip_gpu_tpu.models import cost_engine as ce
+
+    frame = RNG.integers(0, 1024, size=(128, 128), dtype=np.int64)
+    old = ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET
+    ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET = True, True
+    try:
+        got = MipCostEngine(128, 128, max_performance=max_performance)(
+            frame.astype(np.int32))
+    finally:
+        ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET = old
+    exp = gm.frame_costs(frame, frame)
+    valid = np.asarray(got.valid)
+    fields = (("min_sad_had",) if max_performance
+              else ("sad", "satd", "min_sad_had"))
+    for field in fields:
+        e = gm.flatten_strided(exp, field)
+        a = np.asarray(getattr(got, field), np.int64)
+        mism = (e != a) & valid
+        assert not mism.any(), (
+            f"{field}: {mism.sum()} mismatches at {np.argwhere(mism)[:5]}")
+
+
 @pytest.mark.slow
 def test_416x240():
     _check(416, 240)
+
+
+@pytest.mark.slow
+def test_1080p_full_scale():
+    """Full-resolution 1080p engine-vs-golden (VERDICT r1: no 1080p frame
+    had ever been validated end-to-end; reference workloads are 1080p,
+    powerTracer_NVIDIA.py:33-80)."""
+    _check(1920, 1080)
+
+
+@pytest.mark.slow
+def test_4k_full_scale():
+    """3840x2160 engine-vs-golden, one frame (reference 4K workloads:
+    powerTracer_NVIDIA.py:33-80)."""
+    _check(3840, 2160)

@@ -11,18 +11,26 @@ from vvc_mip_gpu_tpu.ops.pallas.distortion import upsample_distortion
 
 RNG = np.random.default_rng(5)
 
+# The COMPLETE shape-class matrix: every (h, w) the engine dispatches —
+# all 9 SizeId2 classes (grouped %4 kernel), all 7 SizeId1 classes
+# (mode-on-sublanes kernel), and SizeId0 — so a kernel-layout regression
+# in any class surfaces here on CPU, not only in the TPU e2e tests.
+ALL_CLASSES = [
+    # SizeId2 (r=8, 2M=12): (h, w) covering every up_h x up_v combination
+    (64, 64, 8, 12), (32, 32, 8, 12),
+    (16, 32, 8, 12), (32, 16, 8, 12),
+    (8, 32, 8, 12), (32, 8, 8, 12),
+    (16, 16, 8, 12), (8, 16, 8, 12), (16, 8, 8, 12),
+    # SizeId1 (r=4, 2M=16)
+    (4, 32, 4, 16), (32, 4, 4, 16),
+    (4, 16, 4, 16), (16, 4, 4, 16),
+    (8, 8, 4, 16), (4, 8, 4, 16), (8, 4, 4, 16),
+    # SizeId0
+    (4, 4, 4, 32),
+]
 
-@pytest.mark.parametrize("h,w,r,two_m", [
-    (8, 8, 4, 16),    # SizeId1 square (up 2x2)
-    (4, 16, 4, 16),   # SizeId1 wide, up_v == 1
-    (16, 4, 4, 16),   # SizeId1 tall, up_h == 1
-    (16, 16, 8, 12),  # SizeId2 (up 2x2)
-    (64, 64, 8, 12),  # SizeId2: up_h == up_v == 8 (phase interleave)
-    (32, 4, 4, 16),   # SizeId1: up_v == 8, up_h == 1
-    (4, 32, 4, 16),   # SizeId1: up_h == 8, up_v == 1
-    (16, 32, 8, 12),  # SizeId2: up_h == 4, up_v == 2
-    (4, 4, 4, 32),    # SizeId0: no upsampling at all
-])
+
+@pytest.mark.parametrize("h,w,r,two_m", ALL_CLASSES)
 def test_pallas_matches_soa(h, w, r, two_m):
     n = 256
     pred = jnp.asarray(
@@ -64,17 +72,7 @@ def test_pallas_matches_soa(h, w, r, two_m):
                                   np.asarray(exp_satd).T)
 
 
-@pytest.mark.parametrize("h,w,r,two_m", [
-    (8, 8, 4, 16),
-    (4, 16, 4, 16),
-    (16, 4, 4, 16),
-    (16, 16, 8, 12),
-    (64, 64, 8, 12),
-    (32, 4, 4, 16),
-    (4, 32, 4, 16),
-    (16, 32, 8, 12),
-    (4, 4, 4, 32),
-])
+@pytest.mark.parametrize("h,w,r,two_m", ALL_CLASSES)
 @pytest.mark.parametrize("emit", ["msh_t", "sad_satd_t"])
 def test_fused_pred_matches_soa(h, w, r, two_m, emit):
     """The in-kernel prediction matmul (mat/limbs inputs, pred=None) must

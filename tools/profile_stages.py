@@ -73,6 +73,9 @@ def _baseline():
 
 
 def main():
+    from vvc_mip_gpu_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     rng = np.random.default_rng(0)
     frame = jax.device_put(jnp.asarray(
         rng.integers(0, 1024, size=(H, W), dtype=np.int32)))
@@ -90,17 +93,21 @@ def main():
     from vvc_mip_gpu_tpu.models.cost_engine import gather_strides as _gs
 
     def _padded(fr):
+        from vvc_mip_gpu_tpu.constants import num_ctus
+
         fr16 = fr.astype(jnp.int16)
         ref_ext = jnp.concatenate([fr16[:1], fr16], axis=0)
         hp, wp = padded_extent(W, H)
         strides = _gs(W, H)
-        wp += (-wp) % max(strides, default=1)
+        w_eff = num_ctus(W, H)[0] * 128
         frame_pad = _pad_edge(fr16, hp, wp)
         ref_ext_pad = _pad_edge(ref_ext, hp + 1, wp)
         ref_pad = jnp.concatenate([ref_ext_pad[:, :1], ref_ext_pad],
                                   axis=1)
-        f_frame = {s: soa.phase_split(frame_pad, s) for s in strides}
-        f_ref = {s: soa.phase_split(ref_ext_pad, s) for s in strides}
+        f_frame = {s: soa.phase_split4(frame_pad[:, :w_eff], s)
+                   for s in strides}
+        f_ref = {s: soa.phase_split4(ref_ext_pad[:, :w_eff], s)
+                 for s in strides}
         return frame_pad, ref_pad, f_frame, f_ref
 
     # stage A: gathers + boundary reduce + Pallas pred (mirrors the
@@ -113,30 +120,36 @@ def main():
     from vvc_mip_gpu_tpu.models.cost_engine import (
         _group_stride, gather_strides)
 
+    from vvc_mip_gpu_tpu.models.cost_engine import _gather_group_phase4
+
     def _class_inputs(frame_pad, ref_pad, cplan, f_frame=None, f_ref=None):
+        """Mirror of _class_costs's gather stage (phase4 pipeline)."""
         shape = cplan.shape
         h, w = shape.height, shape.width
         mode_minor = shape.size_id < 2
         if mode_minor:
-            pred_perm = row_perm = col_perm = None
+            row_perm = col_perm = None
         else:
-            pred_perm = tuple(int(v) for v in input_perms(
-                h, w, shape.reduced_pred_size)[0])
             row_perm, col_perm = _mod4_major(h), _mod4_major(w)
         rts, rls, origs = [], [], []
         for gp in cplan.groups:
             stride = _group_stride(gp)
             if stride is not None and f_frame is not None:
-                rt, rl = soa.gather_boundaries_phase(f_ref[stride], gp,
-                                                     True)
-                origs.append(soa.gather_originals_phase(
-                    f_frame[stride], gp, row_perm, col_perm))
+                rt, rl, og = _gather_group_phase4(
+                    f_frame[stride], f_ref[stride], gp, True,
+                    use_pallas=True, mode_minor=mode_minor,
+                    row_perm=row_perm)
             else:
                 rt, rl = soa.gather_boundaries(ref_pad, gp, True)
-                origs.append(soa.gather_originals(frame_pad, gp, row_perm,
-                                                  col_perm))
+                og = soa.gather_originals(
+                    frame_pad, gp, row_perm,
+                    _mod4_major(w) if mode_minor and w > 4 else col_perm,
+                    order="xy" if mode_minor else "yx")
+                if w > 4:
+                    rt = rt[np.asarray(_mod4_major(w))]
             rts.append(rt)
             rls.append(rl)
+            origs.append(og)
         ref_t = jnp.concatenate(rts, axis=-1)
         ref_l = jnp.concatenate(rls, axis=-1)
         orig = jnp.concatenate(origs, axis=-1)
@@ -150,25 +163,50 @@ def main():
     print(f"stage A (gathers, all classes): "
           f"{device_ms(stage_a, frame):8.2f} ms")
 
-    # gathers only (engine path: phase-split where uniform)
+    # gathers only (engine path: phase4 pipeline, per-class orders)
     def gathers_only(fr):
         frame_pad, ref_pad, f_frame, f_ref = _padded(fr)
         outs = []
         for cplan in class_plans(W, H):
-            for gp in cplan.groups:
-                stride = _group_stride(gp)
-                if stride is not None:
-                    rt, rl = soa.gather_boundaries_phase(f_ref[stride],
-                                                         gp, True)
-                    og = soa.gather_originals_phase(f_frame[stride], gp)
-                else:
-                    rt, rl = soa.gather_boundaries(ref_pad, gp, True)
-                    og = soa.gather_originals(frame_pad, gp)
-                outs.append((rt, rl, og))
+            outs.append(_class_inputs(frame_pad, ref_pad, cplan,
+                                      f_frame, f_ref))
         return outs
 
     print(f"  gathers only: {device_ms(gathers_only, frame):8.2f} ms",
           flush=True)
+
+    import sys as _sys
+    if "--per-class" in _sys.argv:
+        # Per-class isolates: orig gather vs boundary gather vs a plain
+        # reduction over the same bytes (the read-only floor).
+        for cplan in class_plans(W, H):
+            shape = cplan.shape
+            h, w = shape.height, shape.width
+
+            def orig_only(fr, _cp=cplan):
+                frame_pad, ref_pad, f_frame, f_ref = _padded(fr)
+                return _class_inputs(frame_pad, ref_pad, _cp,
+                                     f_frame, f_ref)[0]
+
+            def bnd_only(fr, _cp=cplan):
+                frame_pad, ref_pad, f_frame, f_ref = _padded(fr)
+                return _class_inputs(frame_pad, ref_pad, _cp,
+                                     f_frame, f_ref)[1:]
+
+            n_cu = sum(gp.n_rows * gp.n_cols for gp in cplan.groups)
+            mb = h * w * n_cu * 2 / 1e6
+            o_ms = device_ms(orig_only, frame)
+            b_ms = device_ms(bnd_only, frame)
+            print(f"  class {w:3d}x{h:<3d} nCU={n_cu:6d} orig={mb:7.1f}MB"
+                  f" orig_gather={o_ms:6.2f} ms bnd_gather={b_ms:6.2f} ms",
+                  flush=True)
+
+        def phase_only(fr):
+            frame_pad, ref_pad, f_frame, f_ref = _padded(fr)
+            return list(f_frame.values()) + list(f_ref.values())
+
+        print(f"  phase splits only: {device_ms(phase_only, frame):8.2f} ms",
+              flush=True)
 
     # gathers + boundary reduce (isolates the reduce + pred einsum split)
     def gathers_reduce(fr):
@@ -176,22 +214,8 @@ def main():
         outs = []
         for cplan in class_plans(W, H):
             shape = cplan.shape
-            rts, rls, origs = [], [], []
-            for gp in cplan.groups:
-                stride = _group_stride(gp)
-                if stride is not None:
-                    rt, rl = soa.gather_boundaries_phase(f_ref[stride],
-                                                         gp, True)
-                    origs.append(soa.gather_originals_phase(
-                        f_frame[stride], gp))
-                else:
-                    rt, rl = soa.gather_boundaries(ref_pad, gp, True)
-                    origs.append(soa.gather_originals(frame_pad, gp))
-                rts.append(rt)
-                rls.append(rl)
-            ref_t = jnp.concatenate(rts, axis=-1)
-            ref_l = jnp.concatenate(rls, axis=-1)
-            orig = jnp.concatenate(origs, axis=-1)
+            orig, ref_t, ref_l = _class_inputs(frame_pad, ref_pad, cplan,
+                                               f_frame, f_ref)
             red_t = soa.reduce_boundary(ref_t, shape.boundary_size)
             red_l = soa.reduce_boundary(ref_l, shape.boundary_size)
             outs.append((red_t, red_l, orig, ref_t, ref_l))
@@ -268,6 +292,8 @@ def main():
         return [_class_inputs(frame_pad, ref_pad, cplan, f_frame, f_ref)
                 for cplan in class_plans(W, H)]  # arrays only (jit)
 
+    from vvc_mip_gpu_tpu.ops.pallas.distortion import fused_cu_tile
+
     vals = staged(frame)
     _sync(vals[-1][0])
     b_total = 0.0
@@ -275,20 +301,29 @@ def main():
         shape = cplan.shape
         h, w, r = shape.height, shape.width, shape.reduced_pred_size
         n_cu = orig.shape[-1]
-        tile = default_cu_tile(h, w)
         two_m = 2 * PRED_MODES[shape.size_id]
-        pperm = (tuple(int(v) for v in input_perms(h, w, r)[0])
-                 if shape.size_id == 2 else None)
+        mode_minor = shape.size_id < 2
+        sid1 = mode_minor and not (h == 4 and w == 4)
+        tile = (default_cu_tile(h, w) if mode_minor
+                else fused_cu_tile(h, w, two_m))
+        if shape.size_id == 2:
+            pperm = tuple(int(v) for v in input_perms(h, w, r)[0])
+        elif shape.size_id == 0:
+            pperm = tuple(int(v)
+                          for v in np.arange(16).reshape(4, 4).T.ravel())
+        else:
+            pperm = None
         mat = jnp.asarray(pallas_pred._augmented_matrix(
-            shape.size_id, pperm, shape.size_id < 2))
+            shape.size_id, pperm, mode_minor))
         args = [jax.device_put(a) for a in (orig, ref_t, ref_l, mat)]
 
         def body(o, _args=args, _h=h, _w=w, _r=r, _tile=tile,
-                 _two_m=two_m):
+                 _two_m=two_m, _so="xmajor4" if sid1 else "raster"):
             return upsample_distortion(
                 None, o, _args[1], _args[2], h=_h, w=_w, r=_r,
                 cu_tile=_tile, inputs_permuted=True, mat=_args[3],
-                two_m=_two_m, emit="msh_t")
+                two_m=_two_m, emit="msh_t", sample_order=_so,
+                reft_permuted=True)
 
         ms = device_ms(body, args[0])
         b_total += ms

@@ -24,6 +24,8 @@ from __future__ import annotations
 import dataclasses
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -53,7 +55,17 @@ class FrameCosts:
     valid: jax.Array  # bool, same layout; False for out-of-frame CUs
 
 
+# Test overrides: force the Pallas engine branch on/off regardless of
+# backend, and run the kernels in interpret mode (CPU emulation) so the
+# engine-level Pallas wiring is exercised by the default test run, not
+# only by the tpu-marked hardware tests.
+_PALLAS_OVERRIDE: bool | None = None
+_PALLAS_INTERPRET: bool = False
+
+
 def _use_pallas() -> bool:
+    if _PALLAS_OVERRIDE is not None:
+        return _PALLAS_OVERRIDE
     return jax.default_backend() == "tpu"
 
 
@@ -89,28 +101,40 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
     The CU axis concatenates every group's lattice-ordered CUs in group
     order; _compute splits it back per group and reorders.  On TPU the
     upsample+distortion stage runs as one fused Pallas kernel (no HBM
-    intermediates); elsewhere (CPU tests) the XLA SoA path is used.
+    intermediates) and the gathers run via the %4-major phase pipeline:
+    ref_l and (for the mode-on-sublanes classes) the x-major original
+    samples come from the pure-copy fetch_rows relayout kernel, ref_t and
+    the grouped classes' %4-sample orders fall out of contiguous phase-
+    run concats for free.  Elsewhere (CPU tests) the raster XLA SoA path
+    is used.  ``f_frame``/``f_ref``: the per-stride %4-major phase splits.
     """
     shape = cplan.shape
     w, h = shape.width, shape.height
     r = shape.reduced_pred_size
     if use_pallas is None:
         use_pallas = _use_pallas()
-    # SizeId0/1 classes take the mode-on-sublanes kernels: raster sample
-    # order, mode-minor pred (baked into the weight rows), no
-    # permutations anywhere.
     mode_minor = use_pallas and shape.size_id < 2
     if use_pallas and not mode_minor:
-        # The grouped-layout kernel's %4 sample permutations are folded
-        # upstream where they are free: baked into the prediction weight
-        # rows and into the original-sample gather transpose (a standalone
-        # permute pass over the 0.5 GB/frame prediction tensor costs real
-        # time).
+        # Grouped (SizeId2) kernel: %4 sample orders.  Columns and ref_t
+        # come %4-grouped from the phase runs for free; the y row_perm is
+        # folded into the gather transpose; pred's order is baked into
+        # the weight rows.
         from vvc_mip_gpu_tpu.ops.pallas.distortion import (
             _mod4_major, input_perms)
 
         pred_perm = tuple(int(v) for v in input_perms(h, w, r)[0])
         row_perm, col_perm = _mod4_major(h), _mod4_major(w)
+    elif mode_minor and not (w == 4 and h == 4):
+        # Mode-on-sublanes kernels index samples statically: x-major
+        # %4-grouped orig (the fetch_rows layout), %4-grouped ref_t.
+        pred_perm = None
+        row_perm = col_perm = None
+    elif mode_minor:
+        # SizeId0: x-major == transposed 4x4 sample grid; SAD/SATD are
+        # transpose-invariant so only pred's row order must match.
+        pred_perm = tuple(
+            int(v) for v in np.arange(16).reshape(4, 4).T.ravel())
+        row_perm = col_perm = None
     else:
         pred_perm = None
         row_perm = col_perm = None
@@ -118,18 +142,35 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
     for gp in cplan.groups:
         stride = _group_stride(gp)
         if stride is not None and f_frame is not None:
-            rt, rl = soa.gather_boundaries_phase(f_ref[stride], gp, is_top)
-            orig_parts.append(soa.gather_originals_phase(
-                f_frame[stride], gp, row_perm, col_perm))
+            rt, rl, og = _gather_group_phase4(
+                f_frame[stride], f_ref[stride], gp, is_top,
+                use_pallas=use_pallas, mode_minor=mode_minor,
+                row_perm=row_perm)
         else:
+            # Non-uniform-x lattice (the interleaved 8x8 group): plain
+            # padded-frame gathers, then the class's sample orders
+            # applied in XLA for consistency with the phase-path groups.
             rt, rl = soa.gather_boundaries(ref_ext, gp, is_top)
-            orig_parts.append(soa.gather_originals(frame, gp, row_perm,
-                                                   col_perm))
+            fb_col = col_perm
+            if mode_minor and w > 4:
+                from vvc_mip_gpu_tpu.ops.pallas.distortion import (
+                    _mod4_major as _m4)
+
+                fb_col = _m4(w)  # x %4-grouped, matching fetch_rows
+            og = soa.gather_originals(
+                frame, gp, row_perm, fb_col,
+                order="xy" if mode_minor else "yx")
+            if use_pallas and w > 4:
+                from vvc_mip_gpu_tpu.ops.pallas.distortion import (
+                    _mod4_major as _m4)
+
+                rt = rt[np.asarray(_m4(w))]
         ref_t_parts.append(rt)
         ref_l_parts.append(rl)
+        orig_parts.append(og)
     ref_t = jnp.concatenate(ref_t_parts, axis=-1)  # [w, nCU]
     ref_l = jnp.concatenate(ref_l_parts, axis=-1)  # [h, nCU]
-    orig = jnp.concatenate(orig_parts, axis=-1)  # [h*w, nCU] raster
+    orig = jnp.concatenate(orig_parts, axis=-1)  # [h*w, nCU]
 
     if use_pallas:
         # The whole prediction chain is FUSED into the distortion kernel:
@@ -150,10 +191,15 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
                 else fused_cu_tile(h, w, two_m))
         mat = jnp.asarray(pallas_pred._augmented_matrix(
             shape.size_id, pred_perm, mode_minor))
+        sid1 = mode_minor and not (w == 4 and h == 4)
         return upsample_distortion(None, orig, ref_t, ref_l,
                                    h=h, w=w, r=r, cu_tile=tile,
                                    inputs_permuted=True, mat=mat,
                                    two_m=two_m,
+                                   sample_order=("xmajor4" if sid1
+                                                 else "raster"),
+                                   reft_permuted=True,
+                                   interpret=_PALLAS_INTERPRET,
                                    emit="msh_t" if max_performance
                                    else "sad_satd_t")
 
@@ -168,6 +214,46 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
     if max_performance:
         return jnp.minimum(2 * sad, satd).T
     return sad.T, satd.T
+
+
+def _gather_group_phase4(f4_frame, f4_ref, gp, is_top, *,
+                         use_pallas: bool, mode_minor: bool, row_perm):
+    """One uniform-x group's (ref_t, ref_l, orig) via the %4-major phase
+    pipeline.  On TPU, ref_l and (mode-minor) orig come from the
+    pure-copy fetch_rows Pallas kernel; elsewhere the XLA phase gathers
+    with raster orders."""
+    s = f4_ref.shape[0]
+    w, h = gp.width, gp.height
+    x0 = gp.x_prog[0]
+    rt = soa.gather_top_phase4(f4_ref, gp, is_top, t_mod4=use_pallas)
+    kernel_ok = use_pallas and gp.y_prog is not None
+    if kernel_ok:
+        from vvc_mip_gpu_tpu.ops.pallas.gather import fetch_rows
+
+        sy = gp.y_prog[1] if gp.n_rows > 1 else h
+        p_left = soa.phase4_pos((x0 - 1) % s, s)
+        rl = fetch_rows(f4_ref, runs=((p_left, 1),),
+                        oy=int(gp.ys[0]) + 1, sy=sy, h=h, n_r=gp.n_rows,
+                        col_shift=x0 == 0, interpret=_PALLAS_INTERPRET)
+        rl = soa.left_fixups4(rl, f4_ref, gp, is_top)
+        if mode_minor:
+            og = fetch_rows(f4_frame, runs=tuple(soa.window_runs(x0, w, s)),
+                            oy=int(gp.ys[0]), sy=sy, h=h, n_r=gp.n_rows,
+                            interpret=_PALLAS_INTERPRET)
+        else:
+            og = soa.gather_originals_phase4(f4_frame, gp,
+                                             row_perm=row_perm, order="yx")
+    else:
+        rl = soa.left_fixups4(soa.gather_left_phase4(f4_ref, gp),
+                              f4_ref, gp, is_top)
+        if mode_minor:
+            og = soa.gather_originals_phase4(f4_frame, gp, order="xy")
+        elif use_pallas:
+            og = soa.gather_originals_phase4(f4_frame, gp,
+                                             row_perm=row_perm, order="yx")
+        else:
+            og = soa.gather_originals_phase4(f4_frame, gp, order="raster")
+    return rt, rl, og
 
 
 def _pad_edge(a, rows: int, cols: int):
@@ -208,17 +294,23 @@ def compute_ext(frame, ref_ext, is_top, width: int, height: int,
     # validity mask flags out-of-frame.
     hp, wp = padded_extent(width, height)
     strides = gather_strides(width, height)
-    # Extra edge-replicated columns so Wp divides every phase-split
-    # stride (read only by out-of-frame CUs, which `valid` flags).
-    wp += (-wp) % max(strides, default=1)
+    # The phase splits cover exactly ctu_cols*128 columns: every uniform
+    # lattice has n_cols == ctu_cols*128/stride there, so phase-space
+    # gathers need no column trimming and the lattice CU axis equals the
+    # phase tensors' minor axis exactly (wp >= that by padded_extent).
+    w_eff = num_ctus(width, height)[0] * 128
+    assert wp >= w_eff, (wp, w_eff)
     frame_pad = _pad_edge(frame, hp, wp)
     ref_ext_pad = _pad_edge(ref_ext, hp + 1, wp)  # [1+Hp, Wp] slab
     ref_pad = jnp.concatenate([ref_ext_pad[:, :1], ref_ext_pad], axis=1)
     # Phase-split frames: one lane-hostile relayout per distinct lattice
-    # stride, after which every group gather is minor-axis-preserving
-    # slices (see soa.phase_split).
-    f_frame = {s: soa.phase_split(frame_pad, s) for s in strides}
-    f_ref = {s: soa.phase_split(ref_ext_pad, s) for s in strides}
+    # stride (phases %4-MAJOR: CU windows become contiguous run quartets,
+    # see soa.phase_split4), after which every group gather is
+    # minor-axis-preserving slices or pure-copy fetch_rows DMA.
+    f_frame = {s: soa.phase_split4(frame_pad[:, :w_eff], s)
+               for s in strides}
+    f_ref = {s: soa.phase_split4(ref_ext_pad[:, :w_eff], s)
+             for s in strides}
     sad_blocks: dict[int, jax.Array] = {}
     satd_blocks: dict[int, jax.Array] = {}
     msh_blocks: dict[int, jax.Array] = {}

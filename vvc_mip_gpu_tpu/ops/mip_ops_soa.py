@@ -71,6 +71,7 @@ def _row_blocks(a, prog, idx, n: int, h: int):
         if s == h or n == 1:
             blk = jax.lax.slice_in_dim(a, o, o + n * h, axis=0)
             return blk.reshape(n, h, a.shape[1])
+        assert s >= h, f"overlapping lattice (stride {s} < window {h})"
         blk = jax.lax.slice_in_dim(a, o, o + n * s, axis=0)
         return blk.reshape(n, s, a.shape[1])[:, :h]
     ridx = (idx[:, None] + np.arange(h)[None, :]).ravel()
@@ -85,6 +86,7 @@ def _col_blocks(a, prog, idx, n: int, w: int):
         if s == w or n == 1:
             blk = jax.lax.slice_in_dim(a, o, o + n * w, axis=-1)
             return blk.reshape(*lead, n, w)
+        assert s >= w, f"overlapping lattice (stride {s} < window {w})"
         blk = jax.lax.slice_in_dim(a, o, o + n * s, axis=-1)
         return blk.reshape(*lead, n, s)[..., :w]
     cidx = (idx[:, None] + np.arange(w)[None, :]).ravel()
@@ -103,6 +105,59 @@ def phase_split(a, stride: int):
     return jnp.transpose(a.reshape(r, c // stride, stride), (2, 0, 1))
 
 
+def phase4_pos(p: int, stride: int) -> int:
+    """Position of phase ``p`` in the %4-MAJOR phase order (see
+    phase_split4)."""
+    if stride <= 4:
+        return p
+    return (p % 4) * (stride // 4) + p // 4
+
+
+def phase_split4(a, stride: int):
+    """phase_split with the phase axis in %4-MAJOR order:
+    F4[phase4_pos(p), y, j] = a[y, j*stride + p].
+
+    Why: any CU window [x0, x0+w) with 4 | x0 and 4 | w then occupies
+    exactly FOUR CONTIGUOUS RUNS of the phase axis (one per x%4 class,
+    run q at phase4_pos(q*? ) = q*(stride//4) + x0//4, length w//4) — so
+    the %4-grouped column order the fused distortion kernels want is a
+    plain concat of slices (and a plain DMA box quartet in the Pallas
+    relayout kernel), never a gather or in-register shuffle.
+    """
+    f = phase_split(a, stride)
+    if stride <= 4:
+        return f
+    return f[np.asarray(_MOD4[stride])]
+
+
+_MOD4 = {s: np.concatenate([np.arange(q, s, 4) for q in range(4)])
+         for s in (8, 16, 32, 64, 128)}
+
+
+def window_runs(x0: int, w: int, stride: int) -> list[tuple[int, int]]:
+    """Contiguous (start, length) runs of the %4-major phase axis covering
+    window phases [x0, x0+w) in %4-grouped column order."""
+    if stride <= 4:
+        return [(x0, w)]
+    return [(q * (stride // 4) + x0 // 4, w // 4) for q in range(4)]
+
+
+def _window_phases4(f4, x0: int, w: int, raster: bool = False):
+    """[w, ...] slab of the %4-major F covering window [x0, x0+w).
+
+    Default: %4-grouped phase order (a concat of contiguous slices —
+    free).  ``raster=True`` restores raster phase order via a leading-axis
+    take (CPU/XLA-fallback paths that want raster samples)."""
+    s = f4.shape[0]
+    if raster:
+        pos = np.asarray([phase4_pos(x0 + k, s) for k in range(w)])
+        return jnp.take(f4, pos, axis=0)
+    runs = window_runs(x0, w, s)
+    parts = [jax.lax.slice_in_dim(f4, st, st + ln, axis=0)
+             for st, ln in runs]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
 def _f_row_blocks(f, prog, idx, n: int, h: int):
     """Row windows of [P, R, C] phase planes -> [P, n, h, C]."""
     p, _, c = f.shape
@@ -111,6 +166,7 @@ def _f_row_blocks(f, prog, idx, n: int, h: int):
         if s == h or n == 1:
             blk = jax.lax.slice_in_dim(f, o, o + n * h, axis=1)
             return blk.reshape(p, n, h, c)
+        assert s >= h, f"overlapping lattice (stride {s} < window {h})"
         blk = jax.lax.slice_in_dim(f, o, o + n * s, axis=1)
         return blk.reshape(p, n, s, c)[:, :, :h]
     ridx = (np.asarray(idx)[:, None] + np.arange(h)[None, :]).ravel()
@@ -206,6 +262,119 @@ def gather_boundaries_phase(f_ref, plan: GroupPlan, is_top):
     return ref_t, ref_l
 
 
+def gather_originals_phase4(f4_frame, plan: GroupPlan,
+                            row_perm=None, order: str = "yx"):
+    """gather_originals via the %4-MAJOR phase-split frame F4.
+
+    ``order``:
+      * "yx" — sample rows (y, x): y raster (optionally ``row_perm``-ed),
+        x %4-grouped (free: the window is 4 contiguous phase runs).
+      * "xy" — sample rows (x, y): x %4-grouped major, y raster minor —
+        the layout the mode-on-sublanes kernels index statically and the
+        Pallas fetch_rows relayout kernel emits.
+      * "raster" — plain raster both axes (CPU/test path; phase take).
+    """
+    w, h = plan.width, plan.height
+    x0, _ = plan.x_prog
+    fw = _window_phases4(f4_frame, x0, w, raster=order == "raster")
+    tile = _f_row_blocks(fw, plan.y_prog, plan.ys, plan.n_rows, h)
+    # [w, n_r, h, C]; C == n_cols by construction (Wp = ctu_cols*128)
+    n_cu = plan.n_rows * plan.n_cols
+    if order == "xy":
+        tile = jnp.transpose(tile, (0, 2, 1, 3))  # [w, h, n_r, C]
+        return tile.reshape(h * w, n_cu)
+    tile = jnp.transpose(tile, (2, 0, 1, 3))  # [h, w, n_r, C]
+    if row_perm is not None:
+        tile = tile[np.asarray(row_perm)]
+    return tile.reshape(h * w, n_cu)
+
+
+def gather_boundaries_phase4(f4_ref, plan: GroupPlan, is_top,
+                             t_mod4: bool = True):
+    """gather_boundaries via the %4-major phase-split reference slab.
+
+    Same contract as gather_boundaries_phase (VVC edge rules via static
+    masks) except ref_t's sample rows come out %4-GROUPED when ``t_mod4``
+    (free — exactly the order the fused kernels consume; raster with
+    ``t_mod4=False`` for the CPU path).  ref_l rows stay raster.
+    """
+    ref_t = gather_top_phase4(f4_ref, plan, is_top, t_mod4=t_mod4)
+    ref_l = gather_left_phase4(f4_ref, plan)
+    ref_l = left_fixups4(ref_l, f4_ref, plan, is_top)
+    return ref_t, ref_l
+
+
+def gather_top_phase4(f4_ref, plan: GroupPlan, is_top,
+                      t_mod4: bool = True):
+    """Top boundaries [w, nCU] from the %4-major ref slab; sample rows
+    %4-grouped when ``t_mod4``.  Frame-top VVC edge rule applied."""
+    w, h = plan.width, plan.height
+    n_rows, n_cols = plan.n_rows, plan.n_cols
+    s = f4_ref.shape[0]
+    x0 = plan.x_prog[0]
+
+    # the row above each CU row (F row y == frame row y-1 because of the
+    # slab's +1 halo row)
+    fw = _window_phases4(f4_ref, x0, w, raster=not t_mod4)
+    if plan.y_prog is not None:
+        o, st = plan.y_prog
+        rows = jax.lax.slice(fw, (0, o, 0),
+                             (w, o + (n_rows - 1) * st + 1, fw.shape[2]),
+                             (1, st, 1))
+    else:
+        rows = jnp.take(fw, np.asarray(plan.ys), axis=1)
+    ref_t = rows.reshape(w, n_rows * n_cols)
+    # frame-top fixup: all samples <- frame row 0 sample left of the CU
+    # (ref slab row 1), DC at the frame-left corner
+    if x0 > 0:
+        pad_cols = f4_ref[phase4_pos(x0 - 1, s), 1, :n_cols]
+    else:
+        left = f4_ref[phase4_pos(s - 1, s), 1, :]
+        pad_cols = jnp.concatenate(
+            [jnp.full((1,), VALUE_DC, left.dtype), left[:n_cols - 1]])
+    pad_t = jnp.tile(pad_cols, n_rows)
+    fix_t = jnp.logical_and(
+        jnp.asarray(np.repeat(plan.ys == 0, n_cols)), is_top)
+    return jnp.where(fix_t[None, :], pad_t[None, :], ref_t)
+
+
+def gather_left_phase4(f4_ref, plan: GroupPlan):
+    """XLA left-boundary gather from the %4-major ref slab: [h, nCU],
+    rows raster (edge fixups NOT applied — see left_fixups4)."""
+    w, h = plan.width, plan.height
+    n_rows, n_cols = plan.n_rows, plan.n_cols
+    s = f4_ref.shape[0]
+    x0 = plan.x_prog[0]
+    if x0 > 0:
+        p = phase4_pos(x0 - 1, s)
+        fl = jax.lax.slice_in_dim(f4_ref, p, p + 1, axis=0)
+        left_cols = _f_row_blocks(fl, _shift(plan.y_prog, 1), plan.ys + 1,
+                                  n_rows, h)[0]  # [n_rows, h, C]
+    else:
+        p = phase4_pos(s - 1, s)
+        fl = jax.lax.slice_in_dim(f4_ref, p, p + 1, axis=0)
+        blk = _f_row_blocks(fl, _shift(plan.y_prog, 1), plan.ys + 1,
+                            n_rows, h)[0]
+        # columns j-1: duplicate column 0 in front (j == 0 overwritten)
+        left_cols = jnp.concatenate(
+            [blk[:, :, :1], jax.lax.slice_in_dim(blk, 0, n_cols - 1,
+                                                 axis=2)], axis=2)
+    return jnp.moveaxis(left_cols, 1, 0).reshape(h, n_rows * n_cols)
+
+
+def left_fixups4(ref_l, f4_ref, plan: GroupPlan, is_top):
+    """VVC frame-left/corner edge rules on a raw [h, nCU] left-boundary
+    tensor (reference: intra.cl:232-243): frame-left CUs take the sample
+    above the CU (via the halo row), DC at the frame corner."""
+    n_cols = plan.n_cols
+    pad_rows = jnp.where(
+        jnp.logical_and(jnp.asarray(plan.ys == 0), is_top),
+        VALUE_DC, f4_ref[0, np.asarray(plan.ys), 0])  # frame col 0
+    pad_l = jnp.repeat(pad_rows, n_cols)
+    fix_l = jnp.asarray(np.tile(plan.xs == 0, plan.n_rows))
+    return jnp.where(fix_l[None, :], pad_l[None, :], ref_l)
+
+
 def gather_boundaries(ref_pad, plan: GroupPlan, is_top):
     """Top/left boundaries in SoA layout: ([w, nCU], [h, nCU]).
 
@@ -251,10 +420,11 @@ def gather_boundaries(ref_pad, plan: GroupPlan, is_top):
 
 
 def gather_originals(frame_pad, plan: GroupPlan,
-                     row_perm=None, col_perm=None):
+                     row_perm=None, col_perm=None, order: str = "yx"):
     """Original CU samples in SoA layout: [h*w, nCU], sample axis raster
     (rows/columns optionally reordered by static perms, folded into the
-    SoA transpose copy).
+    SoA transpose copy); ``order="xy"`` emits x-major sample rows
+    (col_perm-ed x outer, raster y inner — the fetch_rows kernel layout).
 
     ``frame_pad``: [Hp, Wp] distortion-target frame, edge-replication
     padded to the `padded_extent`.
@@ -267,6 +437,8 @@ def gather_originals(frame_pad, plan: GroupPlan,
         tile = tile[np.asarray(row_perm)]
     if col_perm is not None:
         tile = tile[:, np.asarray(col_perm)]
+    if order == "xy":
+        tile = jnp.swapaxes(tile, 0, 1)  # [w, h, n_rows, n_cols]
     return tile.reshape(h * w, plan.n_rows * plan.n_cols)
 
 

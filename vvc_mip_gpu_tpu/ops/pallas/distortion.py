@@ -186,7 +186,12 @@ def _kernel_sid0(*refs, two_m: int, emit: str, fused: bool):
     including the boundary reduce and limb split — when ``fused``); all
     2M modes process in one shot with every op on full-width (2M, lane)
     tiles — no mode loop, no skinny 4-sublane planes (measured ~3x
-    faster than the looped form for this class)."""
+    faster than the looped form for this class).
+
+    Sample order: any fixed order works as long as pred's rows match
+    orig's (SAD is order-invariant and the two-sided 4x4 Hadamard SATD is
+    transpose-invariant), so the engine's x-major fetch_rows layout needs
+    no kernel change — only the matching pred sample_perm."""
     if fused:
         mat_ref, orig_ref, reft_ref, refl_ref, *rest = refs
         c = orig_ref.shape[-1]
@@ -229,7 +234,8 @@ def _satd4x4_planes(d):
 
 
 def _kernel_mode_minor(*refs, h: int, w: int, r: int, two_m: int,
-                       emit: str, fused: bool):
+                       emit: str, fused: bool,
+                       sample_order: str = "raster"):
     """SizeId0/1 classes (r == 4): the mode axis rides the SUBLANES.
 
     pred arrives mode-minor [S, 2M, tile] in RASTER sample order; every
@@ -241,12 +247,30 @@ def _kernel_mode_minor(*refs, h: int, w: int, r: int, two_m: int,
     here at all because planes are addressed statically.
     """
     up_h, up_v = w // r, h // r
+    # Static sample-position maps ("xmajor4": orig rows x-%4-grouped
+    # major + y raster minor, ref_t rows %4-grouped — the layouts the
+    # phase4/fetch_rows gather pipeline emits for free).
+    if sample_order == "xmajor4":
+        xpos = _mod4_major(w)  # stored row of raster x = position in %4
+        xinv = np.argsort(xpos)
+
+        def opos(y, x):
+            return int(xinv[x]) * h + y
+
+        tpos = [int(xinv[x]) for x in range(w)]
+        t_order = tuple(int(v) for v in xinv)
+    else:
+        def opos(y, x):
+            return y * w + x
+
+        tpos = list(range(w))
+        t_order = None
     if fused:
         # refl_ref holds the FULL [h, tile] raster left boundary here
         # (the boundary reduce + limb split run in-kernel).
         mat_ref, orig_ref, reft_ref, refl_ref, *rest = refs
         c = orig_ref.shape[-1]
-        x = _build_limbs(reft_ref, refl_ref, w, h, 4)
+        x = _build_limbs(reft_ref, refl_ref, w, h, 4, t_order=t_order)
         predv = _fused_pred(mat_ref, x)  # rows (s, m)
 
         def pred_plane(i):
@@ -300,7 +324,8 @@ def _kernel_mode_minor(*refs, h: int, w: int, r: int, two_m: int,
         plane = hor
     else:
         # vertical pass: column x's base is the top boundary sample
-        top = [reft_ref[pl.ds(x, 1)].astype(jnp.int32) for x in range(w)]
+        top = [reft_ref[pl.ds(tpos[x], 1)].astype(jnp.int32)
+               for x in range(w)]
 
         def plane(y, x):
             k, o = y // up_v, y % up_v + 1
@@ -311,7 +336,7 @@ def _kernel_mode_minor(*refs, h: int, w: int, r: int, two_m: int,
     satd = None
     for by in range(h // 4):
         for bx in range(w // 4):
-            d = [[orig_plane((4 * by + dy) * w + 4 * bx + dx)
+            d = [[orig_plane(opos(4 * by + dy, 4 * bx + dx))
                   - plane(4 * by + dy, 4 * bx + dx)
                   for dx in range(4)] for dy in range(4)]
             sad_b = None
@@ -486,11 +511,12 @@ def _kernel(*refs, h: int, w: int, r: int, two_m: int, emit: str,
 
 @functools.partial(jax.jit, static_argnames=(
     "h", "w", "r", "cu_tile", "interpret", "inputs_permuted",
-    "pred_mode_minor", "emit", "two_m"))
+    "pred_mode_minor", "emit", "two_m", "sample_order", "reft_permuted"))
 def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
                         cu_tile=None, interpret=False,
                         inputs_permuted=False, pred_mode_minor=False,
-                        emit="sad_satd", mat=None, two_m=None):
+                        emit="sad_satd", mat=None, two_m=None,
+                        sample_order="raster", reft_permuted=False):
     """Fused upsample+SAD+SATD for one class.
 
     pred: [2M, R*R, nCU] int16 reduced predictions (raster sample order).
@@ -605,11 +631,12 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
         return _sliced(outs)
 
     if mode_minor:
-        # SizeId1 classes: mode-on-sublanes kernel, raster sample order
-        # (no %4 permutations); pred transposed in XLA unless it already
-        # arrives mode-minor from the Pallas prediction kernel.
+        # SizeId1 classes: mode-on-sublanes kernel; every sample access
+        # is static indexing, so the order is a parameter: raster
+        # (legacy/tests) or the phase4 pipeline's x-major %4 layout.
         kernel = functools.partial(_kernel_mode_minor, h=h, w=w, r=r,
-                                   two_m=two_m, emit=emit, fused=fused)
+                                   two_m=two_m, emit=emit, fused=fused,
+                                   sample_order=sample_order)
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -628,7 +655,8 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
         return _sliced(outs)
 
     # Static %4-group permutations (see _kernel); applied here unless the
-    # caller already folded them upstream (inputs_permuted).
+    # caller already folded them upstream (inputs_permuted /
+    # reft_permuted — the phase4 gather pipeline emits both for free).
     pred_perm, refl_perm, reft_perm, orig_perm = input_perms(h, w, r)
     if not inputs_permuted:
         if not fused:
@@ -638,7 +666,8 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
     if not fused:
         # fused keeps the full raster ref_l (anchors picked in-kernel)
         refl_anchor = refl_anchor[refl_perm, :]
-    ref_t = ref_t[reft_perm, :]
+    if not reft_permuted:
+        ref_t = ref_t[reft_perm, :]
     kernel = functools.partial(_kernel, h=h, w=w, r=r, two_m=two_m,
                                emit=emit, fused=fused)
     outs = pl.pallas_call(
