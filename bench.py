@@ -47,30 +47,81 @@ def main() -> None:
     p.add_argument("--resolution", default=None,
                    help="WxH (default 1920x1080; e.g. 3840x2160)")
     p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--filtered", action="store_true",
+                   help="Alternative-samples regime: low-pass filter each "
+                        "frame on device, then search against it "
+                        "(reference --FilterType timing, main.cpp:684-791)")
+    p.add_argument("--window", choices=["compute", "reference"],
+                   default="compute",
+                   help="'compute': steady-state dispatch window (the "
+                        "headline). 'reference': the reference's "
+                        "write->compute->read window — host->device frame "
+                        "upload and the FULL cost-tensor readback are "
+                        "inside the timed region "
+                        "(main_aux_functions.h:908-914)")
     args = p.parse_args()
-    metric = "mip_search_1080p_frames_per_second"
+    tag = "1080p" if args.resolution is None else args.resolution
+    metric = f"mip_search_{tag}_frames_per_second"
+    if args.filtered:
+        metric = f"mip_search_{tag}_filtered_frames_per_second"
+    if args.window == "reference":
+        metric = f"mip_search_{tag}_refwindow_frames_per_second"
     if args.resolution:
         w, h = args.resolution.lower().split("x")
         W, H = int(w), int(h)
-        metric = f"mip_search_{args.resolution}_frames_per_second"
     if args.batch:
         BATCH = args.batch
 
     rng = np.random.default_rng(0)
-    frames = jax.device_put(jnp.asarray(
-        rng.integers(0, 1024, size=(BATCH, H, W), dtype=np.int32)))
+    frames_np = rng.integers(0, 1024, size=(BATCH, H, W), dtype=np.int32)
+    frames = jax.device_put(jnp.asarray(frames_np))
 
-    @jax.jit
-    def run_batch(fr):
+    def one_frame(x):
         # max_performance mirrors the reference's default
         # MAX_PERFORMANCE_DIST=1 build (main_aux_functions.h:1): only
         # minSadHad is assembled/read, SAD/SATD columns are skipped.
         one = functools.partial(_compute, width=W, height=H,
                                 max_performance=True)
+        if args.filtered:
+            from vvc_mip_gpu_tpu.ops.filters import _filter_jnp
+
+            ref = _filter_jnp(x, "filterFrame_2d_int_quarterCtu", 2)
+            return one(x, ref).min_sad_had
+        return one(x, x).min_sad_had
+
+    @jax.jit
+    def run_batch(fr):
         # The sanity value is a nonzero-entry count (can't wrap: < 2^31
         # entries per batch), not an int32 sum that could wrap to 0.
         return jax.vmap(lambda x: jnp.count_nonzero(
-            one(x, x).min_sad_had, ).astype(jnp.int32))(fr).sum()
+            one_frame(x)).astype(jnp.int32))(fr).sum()
+
+    @jax.jit
+    def run_batch_full(fr):
+        # reference-window variant: the whole [B, nCTU, 97840/3] cost
+        # tensor leaves the device, as in the reference's readDistortion
+        return jax.vmap(one_frame)(fr)
+
+    if args.window == "reference":
+        # write -> compute -> read, all inside the timed window
+        # (main_aux_functions.h:908-914: WRITE_START .. READ_END).
+        np.asarray(run_batch_full(jax.device_put(frames_np)))  # compile
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(ITERS):
+            dev = jax.device_put(frames_np ^ (i + 1))   # write
+            out = run_batch_full(dev)                   # compute
+            acc += int(np.asarray(out).any())           # full read
+        assert acc == ITERS
+        dt = (time.perf_counter() - t0) / (ITERS * BATCH)
+        fps = 1.0 / dt
+        print(json.dumps({
+            "metric": metric,
+            "value": round(fps, 3),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / ASSUMED_BASELINE_FPS, 3),
+        }))
+        return
 
     int(run_batch(frames))  # compile + warm up
     for i in range(WARMUP):

@@ -227,11 +227,73 @@ done:
     return res;
 }
 
+/* ------------------------------------------------------------------ *
+ * write_samples_csv(path, samples, width)                             *
+ *                                                                     *
+ * samples: uint16 buffer (rows*width); one pixel row per line of      *
+ * comma-separated decimals — the reference frame-CSV format (the      *
+ * filtered-frame export path, reference main.cpp:789-817 writeCsv).   *
+ * ------------------------------------------------------------------ */
+static PyObject *
+write_samples_csv(PyObject *self, PyObject *args)
+{
+    const char *path;
+    Py_buffer samples;
+    Py_ssize_t width;
+    if (!PyArg_ParseTuple(args, "sy*n", &path, &samples, &width))
+        return NULL;
+
+    Py_ssize_t total = samples.len / (Py_ssize_t)sizeof(uint16_t);
+    const uint16_t *src = (const uint16_t *)samples.buf;
+    PyObject *res = NULL;
+    FILE *f = fopen(path, "wb");
+    char *rowbuf = NULL;
+    if (!f) {
+        PyErr_Format(PyExc_OSError, "cannot open %s for writing", path);
+        goto done;
+    }
+    if (width <= 0 || total % width) {
+        PyErr_SetString(PyExc_ValueError, "sample count % width != 0");
+        goto done;
+    }
+    size_t bufcap = 1 << 22;
+    rowbuf = malloc(bufcap);
+    if (!rowbuf) {
+        PyErr_NoMemory();
+        goto done;
+    }
+    setvbuf(f, NULL, _IOFBF, 1 << 20);
+    char *w = rowbuf;
+    Py_BEGIN_ALLOW_THREADS
+    for (Py_ssize_t i = 0; i < total; i++) {
+        if ((size_t)(w - rowbuf) > bufcap - 16) {
+            fwrite(rowbuf, 1, (size_t)(w - rowbuf), f);
+            w = rowbuf;
+        }
+        w = write_i64(w, (int64_t)src[i]);
+        *w++ = ((i + 1) % width) ? ',' : '\n';
+    }
+    if (w != rowbuf)
+        fwrite(rowbuf, 1, (size_t)(w - rowbuf), f);
+    Py_END_ALLOW_THREADS
+    res = Py_None;
+    Py_INCREF(Py_None);
+done:
+    if (rowbuf)
+        free(rowbuf);
+    if (f)
+        fclose(f);
+    PyBuffer_Release(&samples);
+    return res;
+}
+
 static PyMethodDef methods[] = {
     {"read_samples_csv", read_samples_csv, METH_VARARGS,
      "Parse a reference-format CSV of luma samples into uint16 bytes."},
     {"write_decisions_csv", write_decisions_csv, METH_VARARGS,
      "Write the decisions log in the reference CSV schema."},
+    {"write_samples_csv", write_samples_csv, METH_VARARGS,
+     "Write frames in the reference sample-CSV format."},
     {NULL, NULL, 0, NULL},
 };
 

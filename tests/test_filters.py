@@ -75,3 +75,16 @@ def test_invalid_args():
         jf.filter_frame(FRAME, "no_such_filter")
     with pytest.raises(ValueError):
         jf.filter_frame(FRAME, "filterFrame_1d_int_5x5", 4)
+
+
+def test_filter_frames_batched_matches_single():
+    """The batched device path (cli production path) must equal the
+    per-frame reference path for every filter family."""
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 1024, size=(3, 32, 48), dtype=np.int64)
+    for ftype in ("filterFrame_2d_int_quarterCtu",
+                  "filterFrame_1d_float_5x5"):
+        got = np.asarray(jf.filter_frames(frames, ftype, 1))
+        exp = np.stack([np.asarray(jf.filter_frame(f, ftype, 1))
+                        for f in frames])
+        np.testing.assert_array_equal(got, exp)

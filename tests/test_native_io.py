@@ -36,3 +36,19 @@ def test_native_export_matches_pandas(tmp_path, monkeypatch):
     a = pd.read_csv(p_nat)
     b = pd.read_csv(p_pd)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_native_samples_writer_matches_python(tmp_path):
+    """write_frames_csv's native fast path must emit byte-identical CSV
+    to the Python fallback."""
+    rng = np.random.default_rng(7)
+    fr = rng.integers(0, 1024, size=(2, 16, 24), dtype=np.uint16)
+    p_nat = tmp_path / "nat.csv"
+    p_py = tmp_path / "py.csv"
+    native.write_samples_csv(str(p_nat), fr.reshape(-1, 24), 24)
+    flat = fr.reshape(-1, 24)
+    with open(p_py, "w") as f:
+        for row in flat:
+            f.write(",".join(map(str, row.tolist())))
+            f.write("\n")
+    assert p_nat.read_bytes() == p_py.read_bytes()

@@ -25,18 +25,19 @@ FRAME = RNG.integers(0, 1024, size=(H, W), dtype=np.int16)
 
 def _setup():
     frame = jnp.asarray(FRAME)
-    ref_ext = jnp.concatenate([frame[:1], frame], axis=0)
     hp, wp = padded_extent(W, H)
     w_eff = num_ctus(W, H)[0] * 128
     frame_pad = _pad_edge(frame, hp, wp)
-    ref_ext_pad = _pad_edge(ref_ext, hp + 1, wp)
+    halo_pad = _pad_edge(frame[:1], 1, wp)
+    ref_ext_pad = jnp.concatenate([halo_pad, frame_pad], axis=0)
     ref_pad = jnp.concatenate([ref_ext_pad[:, :1], ref_ext_pad], axis=1)
     strides = gather_strides(W, H)
-    f_frame = {s: soa.phase_split4(frame_pad[:, :w_eff], s)
+    f_frame = {s: soa.phase_split4(frame_pad[:, :w_eff], s,
+                                   pad_lanes=True, pad_rows=8)
                for s in strides}
-    f_ref = {s: soa.phase_split4(ref_ext_pad[:, :w_eff], s)
-             for s in strides}
-    return frame_pad, ref_pad, f_frame, f_ref
+    f_slab = {s: soa.phase_split4(ref_ext_pad[:, :w_eff], s)
+              for s in strides}
+    return frame_pad, ref_pad, f_frame, f_slab
 
 
 def test_phase_split4_semantics():
@@ -67,8 +68,9 @@ def test_phase4_groups_match_raster(use_pallas):
             for gp in cplan.groups:
                 if _group_stride(gp) is None:
                     continue
+                st = _group_stride(gp)
                 rt, rl, og = _gather_group_phase4(
-                    f_frame[_group_stride(gp)], f_ref[_group_stride(gp)],
+                    f_frame[st], f_ref[st], f_frame[st],
                     gp, True, use_pallas=use_pallas,
                     mode_minor=mode_minor, row_perm=None)
                 # raster truth from the padded-frame gathers

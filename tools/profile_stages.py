@@ -96,19 +96,20 @@ def main():
         from vvc_mip_gpu_tpu.constants import num_ctus
 
         fr16 = fr.astype(jnp.int16)
-        ref_ext = jnp.concatenate([fr16[:1], fr16], axis=0)
         hp, wp = padded_extent(W, H)
         strides = _gs(W, H)
         w_eff = num_ctus(W, H)[0] * 128
         frame_pad = _pad_edge(fr16, hp, wp)
-        ref_ext_pad = _pad_edge(ref_ext, hp + 1, wp)
+        halo_pad = _pad_edge(fr16[:1], 1, wp)
+        ref_ext_pad = jnp.concatenate([halo_pad, frame_pad], axis=0)
         ref_pad = jnp.concatenate([ref_ext_pad[:, :1], ref_ext_pad],
                                   axis=1)
-        f_frame = {s: soa.phase_split4(frame_pad[:, :w_eff], s)
+        f_frame = {s: soa.phase_split4(frame_pad[:, :w_eff], s,
+                                       pad_lanes=True, pad_rows=8)
                    for s in strides}
-        f_ref = {s: soa.phase_split4(ref_ext_pad[:, :w_eff], s)
-                 for s in strides}
-        return frame_pad, ref_pad, f_frame, f_ref
+        f_slab = {s: soa.phase_split4(ref_ext_pad[:, :w_eff], s)
+                  for s in strides}
+        return frame_pad, ref_pad, f_frame, f_slab
 
     # stage A: gathers + boundary reduce + Pallas pred (mirrors the
     # engine: mode-minor raster for SizeId0/1, %4 perms + grouped layout
@@ -136,8 +137,8 @@ def main():
             stride = _group_stride(gp)
             if stride is not None and f_frame is not None:
                 rt, rl, og = _gather_group_phase4(
-                    f_frame[stride], f_ref[stride], gp, True,
-                    use_pallas=True, mode_minor=mode_minor,
+                    f_frame[stride], f_ref[stride], f_frame[stride], gp,
+                    True, use_pallas=True, mode_minor=mode_minor,
                     row_perm=row_perm)
             else:
                 rt, rl = soa.gather_boundaries(ref_pad, gp, True)

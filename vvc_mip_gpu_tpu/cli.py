@@ -123,15 +123,18 @@ def run(cfg: EngineConfig, synthetic: bool = False,
 
     ref_frames = None
     if cfg.filter_type is not None:
-        from vvc_mip_gpu_tpu.ops.filters import filter_frame
+        from vvc_mip_gpu_tpu.ops.filters import filter_frames
 
         with timer.stage("ENQUEUE FILTER"):
-            ref_frames = np.stack([
-                np.asarray(filter_frame(f, cfg.filter_type, cfg.kernel_idx))
-                for f in frames])
+            # One vmapped jit over the whole batch; the result STAYS ON
+            # DEVICE and feeds the engine directly (the reference
+            # round-trips filtered frames through the host only for
+            # export, main.cpp:793-822).
+            ref_frames = filter_frames(frames, cfg.filter_type,
+                                       cfg.kernel_idx)
         if cfg.only_filter:
             out = f"{cfg.output_prefix}filtered.csv"
-            fio.write_frames_csv(out, ref_frames)
+            fio.write_frames_csv(out, np.asarray(ref_frames))
             print(f"wrote {out}")
             print(timer.report_compact(cfg.n_frames))
             return 0
@@ -296,12 +299,14 @@ def _run_distributed(cfg: EngineConfig, synthetic: bool,
                                         cfg.height, len(sl), start=sl.start)
     refs = None
     if cfg.filter_type is not None:
-        from vvc_mip_gpu_tpu.ops.filters import filter_frame
+        from vvc_mip_gpu_tpu.ops.filters import filter_frames
 
         with timer.stage("ENQUEUE FILTER"):
-            refs = np.stack([
-                np.asarray(filter_frame(f, cfg.filter_type, cfg.kernel_idx))
-                for f in local]) if len(local) else None
+            # Batched device filter; make_array_from_process_local_data
+            # wants host arrays, so the multi-host path reads it back.
+            refs = (np.asarray(filter_frames(local, cfg.filter_type,
+                                             cfg.kernel_idx))
+                    if len(local) else None)
     with timer.stage("ENQUEUE KERNELS"):
         costs = runner.compute(local.astype(np.int32), cfg.n_frames,
                                None if refs is None

@@ -40,9 +40,19 @@ def read_frames_csv(path: str | Path, width: int, height: int,
 
 
 def write_frames_csv(path: str | Path, frames: np.ndarray) -> None:
-    """Write frames in the reference CSV format (testing/tooling)."""
+    """Write frames in the reference CSV format (filtered-frame export,
+    reference main.cpp:789-817; ~2M text rows per 1080p frame — the native
+    writer is the production path, the Python loop a fallback)."""
     frames = np.asarray(frames)
     flat = frames.reshape(-1, frames.shape[-1])
+    try:
+        from vvc_mip_gpu_tpu.io import native
+
+        native.write_samples_csv(str(path), flat.astype(np.uint16),
+                                 flat.shape[-1])
+        return
+    except ImportError:
+        pass
     with open(path, "w") as f:
         for row in flat:
             f.write(",".join(map(str, row.tolist())))

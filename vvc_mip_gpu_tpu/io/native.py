@@ -16,6 +16,13 @@ def read_samples_csv(path: str, width: int, rows: int) -> np.ndarray:
     return np.frombuffer(raw, np.uint16).reshape(rows, width)
 
 
+def write_samples_csv(path: str, samples: np.ndarray, width: int) -> None:
+    """Write uint16 samples ([.., width]-shaped) in the reference frame-CSV
+    format (one pixel row per line)."""
+    _native_ext.write_samples_csv(
+        path, np.ascontiguousarray(samples, np.uint16), width)
+
+
 def write_decisions_csv(path: str, header: str, prefixes: bytes,
                         x_in: np.ndarray, y_in: np.ndarray,
                         sad: np.ndarray, satd: np.ndarray, msh: np.ndarray,

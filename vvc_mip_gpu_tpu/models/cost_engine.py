@@ -62,6 +62,13 @@ class FrameCosts:
 _PALLAS_OVERRIDE: bool | None = None
 _PALLAS_INTERPRET: bool = False
 
+# Which roles the fetch_rows relayout kernel serves ("both" | "left" |
+# "orig" | "none"); an A/B lever for on-hardware profiling — the XLA
+# phase gathers are the fallback either way.
+import os as _os
+
+_FETCH_MODE: str = _os.environ.get("VVC_FETCH", "both")
+
 
 def _use_pallas() -> bool:
     if _PALLAS_OVERRIDE is not None:
@@ -92,7 +99,7 @@ def gather_strides(width: int, height: int) -> tuple[int, ...]:
 def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
                  use_pallas: bool | None = None,
                  max_performance: bool = False,
-                 f_frame=None, f_ref=None):
+                 f_frame=None, f_slab=None, f_reff=None):
     """Costs of one shape class in MODE-MINOR lattice order: ([nCU, 2M]
     sad, satd), or a single [nCU, 2M] min(2*SAD, SATD) with
     ``max_performance``.  Mode-minor is emitted directly by the Pallas
@@ -143,8 +150,8 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
         stride = _group_stride(gp)
         if stride is not None and f_frame is not None:
             rt, rl, og = _gather_group_phase4(
-                f_frame[stride], f_ref[stride], gp, is_top,
-                use_pallas=use_pallas, mode_minor=mode_minor,
+                f_frame[stride], f_slab[stride], f_reff[stride], gp,
+                is_top, use_pallas=use_pallas, mode_minor=mode_minor,
                 row_perm=row_perm)
         else:
             # Non-uniform-x lattice (the interleaved 8x8 group): plain
@@ -216,43 +223,55 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
     return sad.T, satd.T
 
 
-def _gather_group_phase4(f4_frame, f4_ref, gp, is_top, *,
+def _gather_group_phase4(f4_frame, f4_slab, f4_reff, gp, is_top, *,
                          use_pallas: bool, mode_minor: bool, row_perm):
     """One uniform-x group's (ref_t, ref_l, orig) via the %4-major phase
     pipeline.  On TPU, ref_l and (mode-minor) orig come from the
-    pure-copy fetch_rows Pallas kernel; elsewhere the XLA phase gathers
-    with raster orders."""
-    s = f4_ref.shape[0]
+    pure-copy fetch_rows Pallas kernel (addressed in REF FRAME rows —
+    slab row y+1 == frame row y — so DMA offsets stay tile-aligned);
+    groups whose geometry the kernel's DMA alignment rules can't serve
+    fall back to the XLA phase gathers."""
+    s = f4_slab.shape[0]
     w, h = gp.width, gp.height
     x0 = gp.x_prog[0]
-    rt = soa.gather_top_phase4(f4_ref, gp, is_top, t_mod4=use_pallas)
+    oy = int(gp.ys[0])
+    rt = soa.gather_top_phase4(f4_slab, gp, is_top, t_mod4=use_pallas)
+    sy = gp.y_prog[1] if (gp.y_prog and gp.n_rows > 1) else h
     kernel_ok = use_pallas and gp.y_prog is not None
-    if kernel_ok:
+
+    def _fetch(f4, runs):
+        if not kernel_ok:
+            return None
         from vvc_mip_gpu_tpu.ops.pallas.gather import fetch_rows
 
-        sy = gp.y_prog[1] if gp.n_rows > 1 else h
-        p_left = soa.phase4_pos((x0 - 1) % s, s)
-        rl = fetch_rows(f4_ref, runs=((p_left, 1),),
-                        oy=int(gp.ys[0]) + 1, sy=sy, h=h, n_r=gp.n_rows,
-                        col_shift=x0 == 0, interpret=_PALLAS_INTERPRET)
-        rl = soa.left_fixups4(rl, f4_ref, gp, is_top)
-        if mode_minor:
-            og = fetch_rows(f4_frame, runs=tuple(soa.window_runs(x0, w, s)),
-                            oy=int(gp.ys[0]), sy=sy, h=h, n_r=gp.n_rows,
-                            interpret=_PALLAS_INTERPRET)
-        else:
-            og = soa.gather_originals_phase4(f4_frame, gp,
-                                             row_perm=row_perm, order="yx")
-    else:
-        rl = soa.left_fixups4(soa.gather_left_phase4(f4_ref, gp),
-                              f4_ref, gp, is_top)
-        if mode_minor:
+        try:
+            return fetch_rows(f4, runs=runs, oy=oy, sy=sy, h=h,
+                              n_r=gp.n_rows, c_log=gp.n_cols,
+                              interpret=_PALLAS_INTERPRET)
+        except ValueError:
+            return None
+
+    p_left = soa.phase4_pos((x0 - 1) % s, s)
+    rl = (_fetch(f4_reff, ((p_left, 1),))
+          if _FETCH_MODE in ("both", "left") else None)
+    if rl is not None and x0 == 0:
+        # Frame-left wrap: CU column j's left neighbor is column j-1 of
+        # the LAST phase — shift one lattice column right; the garbage
+        # j == 0 column is overwritten by the edge fixup below.
+        rl = jnp.concatenate([rl[:, :1], rl[:, :-1]], axis=1)
+    if rl is None:
+        rl = soa.gather_left_phase4(f4_slab, gp)
+    rl = soa.left_fixups4(rl, f4_slab, gp, is_top)
+    if mode_minor:
+        og = (_fetch(f4_frame, tuple(soa.window_runs(x0, w, s)))
+              if _FETCH_MODE in ("both", "orig") else None)
+        if og is None:
             og = soa.gather_originals_phase4(f4_frame, gp, order="xy")
-        elif use_pallas:
-            og = soa.gather_originals_phase4(f4_frame, gp,
-                                             row_perm=row_perm, order="yx")
-        else:
-            og = soa.gather_originals_phase4(f4_frame, gp, order="raster")
+    elif use_pallas:
+        og = soa.gather_originals_phase4(f4_frame, gp,
+                                         row_perm=row_perm, order="yx")
+    else:
+        og = soa.gather_originals_phase4(f4_frame, gp, order="raster")
     return rt, rl, og
 
 
@@ -272,23 +291,27 @@ def _flatten_strided(blocks: dict[int, jax.Array]) -> jax.Array:
     return jnp.concatenate([blocks[g.index] for g in GROUPS], axis=1)
 
 
-def compute_ext(frame, ref_ext, is_top, width: int, height: int,
+def compute_ext(frame, ref, halo_row, is_top, width: int, height: int,
                 max_performance: bool = False):
     """Cost computation against a halo-extended reference slab.
 
-    ``frame`` is the [height, width] distortion-target slab; ``ref_ext`` is
-    [height+1, width] with the sample row above the slab at index 0 (a halo
-    exchanged from the neighboring shard in the spatial-parallel engine).
-    ``is_top`` (bool, may be traced) marks the slab holding the frame's
-    global top row.  Returns (sad, satd, min_sad_had) in the flat strided
-    layout; with ``max_performance`` (the reference's MAX_PERFORMANCE_DIST,
-    main_aux_functions.h:1) sad/satd are None and only minSadHad is
-    assembled — the layout reorder is the costlier half of the epilogue.
+    ``frame`` is the [height, width] distortion-target slab; ``ref`` the
+    boundary-sample source (pass the SAME OBJECT as ``frame`` for the
+    original-samples regime — the phase tensors are then shared);
+    ``halo_row`` is the [width] sample row above the slab (exchanged from
+    the neighboring shard in the spatial-parallel engine; any row for the
+    frame's top shard).  ``is_top`` (bool, may be traced) marks the slab
+    holding the frame's global top row.  Returns (sad, satd, min_sad_had)
+    in the flat strided layout; with ``max_performance`` (the reference's
+    MAX_PERFORMANCE_DIST, main_aux_functions.h:1) sad/satd are None and
+    only minSadHad is assembled.
     """
     # Gathers and SoA transposes are pure data movement: run them in int16
     # (10-bit samples) to halve the traffic.  Arithmetic stages cast up.
+    share_ref = ref is frame
     frame = frame.astype(jnp.int16)
-    ref_ext = ref_ext.astype(jnp.int16)
+    ref = frame if share_ref else ref.astype(jnp.int16)
+    halo_row = halo_row.astype(jnp.int16)
     # Edge-replication padding turns every lattice gather into strided
     # slices (geometry.padded_extent); padded samples reach only CUs the
     # validity mask flags out-of-frame.
@@ -300,24 +323,41 @@ def compute_ext(frame, ref_ext, is_top, width: int, height: int,
     # phase tensors' minor axis exactly (wp >= that by padded_extent).
     w_eff = num_ctus(width, height)[0] * 128
     assert wp >= w_eff, (wp, w_eff)
+    # phase_split4 reshapes [.., w_eff] by each stride: every lattice
+    # stride must divide w_eff (true for the power-of-two VVC lattices;
+    # a future non-power-of-two stride must extend the padding rule).
+    assert all(w_eff % s == 0 for s in strides), (w_eff, strides)
     frame_pad = _pad_edge(frame, hp, wp)
-    ref_ext_pad = _pad_edge(ref_ext, hp + 1, wp)  # [1+Hp, Wp] slab
+    ref_pad_f = frame_pad if share_ref else _pad_edge(ref, hp, wp)
+    halo_pad = _pad_edge(halo_row[None, :], 1, wp)
+    ref_ext_pad = jnp.concatenate([halo_pad, ref_pad_f], axis=0)  # slab
     ref_pad = jnp.concatenate([ref_ext_pad[:, :1], ref_ext_pad], axis=1)
     # Phase-split frames: one lane-hostile relayout per distinct lattice
     # stride (phases %4-MAJOR: CU windows become contiguous run quartets,
     # see soa.phase_split4), after which every group gather is
-    # minor-axis-preserving slices or pure-copy fetch_rows DMA.
-    f_frame = {s: soa.phase_split4(frame_pad[:, :w_eff], s)
+    # minor-axis-preserving slices or pure-copy fetch_rows DMA.  Three
+    # tensor families: the frame (orig), the halo SLAB (ref_t + edge
+    # fixups: slab row y = frame row y-1), and the ref FRAME rows (the
+    # ref_l fetch kernel — frame-row addressing keeps its DMA offsets
+    # 8-aligned); the last shares the frame's splits when ref is frame.
+    pad = _FETCH_MODE != "none"
+    f_frame = {s: soa.phase_split4(frame_pad[:, :w_eff], s,
+                                   pad_lanes=pad, pad_rows=8 * pad)
                for s in strides}
-    f_ref = {s: soa.phase_split4(ref_ext_pad[:, :w_eff], s)
-             for s in strides}
+    f_slab = {s: soa.phase_split4(ref_ext_pad[:, :w_eff], s)
+              for s in strides}
+    f_reff = f_frame if share_ref else {
+        s: soa.phase_split4(ref_pad_f[:, :w_eff], s,
+                            pad_lanes=pad, pad_rows=8 * pad)
+        for s in strides}
     sad_blocks: dict[int, jax.Array] = {}
     satd_blocks: dict[int, jax.Array] = {}
     msh_blocks: dict[int, jax.Array] = {}
     for cplan in class_plans(width, height):
         costs = _class_costs(frame_pad, ref_pad, is_top, cplan,
                              max_performance=max_performance,
-                             f_frame=f_frame, f_ref=f_ref)
+                             f_frame=f_frame, f_slab=f_slab,
+                             f_reff=f_reff)
         # Split the class CU axis back per group (static lattice sizes) and
         # reorder each from lattice order to the reference CTU layout.
         off = 0
@@ -342,9 +382,11 @@ def compute_ext(frame, ref_ext, is_top, width: int, height: int,
 
 def _compute(frame, ref, width: int, height: int,
              max_performance: bool = False) -> FrameCosts:
-    ref_ext = jnp.concatenate([ref[:1], ref], axis=0)  # dummy halo row
+    """Single-frame cost search.  Pass the SAME OBJECT for ``frame`` and
+    ``ref`` in the original-samples regime — the gather pipeline then
+    shares the phase tensors between the two roles."""
     sad_flat, satd_flat, msh_flat = compute_ext(
-        frame, ref_ext, True, width, height,
+        frame, ref, ref[0], True, width, height,
         max_performance=max_performance)
     return FrameCosts(
         sad=sad_flat,
@@ -390,9 +432,13 @@ class MipCostEngine:
         self.width = width
         self.height = height
         self.n_ctus = num_ctus(width, height)[2]
-        self._fn = jax.jit(
-            functools.partial(_compute, width=width, height=height,
-                              max_performance=max_performance))
+        # Two compiled variants: the original-samples regime passes ONE
+        # array for both roles (shared phase tensors), the
+        # alternative-samples regime two.
+        base = functools.partial(_compute, width=width, height=height,
+                                 max_performance=max_performance)
+        self._fn1 = jax.jit(lambda frame: base(frame, frame))
+        self._fn = jax.jit(base)
 
     def __call__(self, frame, ref_frame=None) -> FrameCosts:
         """frame: [H, W] integer luma samples (10-bit).  ref_frame: the
@@ -400,5 +446,5 @@ class MipCostEngine:
         filtered frame for the alternative-samples regime,
         reference: main.cpp:818-822)."""
         if ref_frame is None:
-            ref_frame = frame
+            return self._fn1(frame)
         return self._fn(frame, ref_frame)

@@ -86,8 +86,13 @@ def _compiled(filter_type: str, kernel_idx: int, h: int, w: int):
         _filter_jnp, filter_type=filter_type, kernel_idx=kernel_idx))
 
 
-def filter_frame(frame, filter_type: str, kernel_idx: int = 0):
-    """Apply one of the 8 filter variants to an [H, W] frame (10-bit)."""
+@functools.cache
+def _compiled_batch(filter_type: str, kernel_idx: int, h: int, w: int):
+    return jax.jit(jax.vmap(functools.partial(
+        _filter_jnp, filter_type=filter_type, kernel_idx=kernel_idx)))
+
+
+def _check_args(filter_type: str, kernel_idx: int) -> None:
     if filter_type not in AVAILABLE_FILTERS:
         raise ValueError(f"unknown filter {filter_type!r}; "
                          f"available: {list(AVAILABLE_FILTERS)}")
@@ -95,5 +100,22 @@ def filter_frame(frame, filter_type: str, kernel_idx: int = 0):
     if not 0 <= kernel_idx < n_kernels:
         raise ValueError(f"kernel_idx {kernel_idx} out of range for "
                          f"{filter_type} (0..{n_kernels - 1})")
+
+
+def filter_frame(frame, filter_type: str, kernel_idx: int = 0):
+    """Apply one of the 8 filter variants to an [H, W] frame (10-bit)."""
+    _check_args(filter_type, kernel_idx)
     frame = jnp.asarray(frame)
     return _compiled(filter_type, kernel_idx, *frame.shape)(frame)
+
+
+def filter_frames(frames, filter_type: str, kernel_idx: int = 0):
+    """Batched filter: [N, H, W] -> [N, H, W] int32 on DEVICE in one
+    vmapped jit — the production alternative-samples path (no per-frame
+    dispatch, no host round trip; the engine consumes the device array
+    directly).  Reference equivalent: the filterFrame_* enqueue loop,
+    main.cpp:684-791."""
+    _check_args(filter_type, kernel_idx)
+    frames = jnp.asarray(frames)
+    return _compiled_batch(filter_type, kernel_idx,
+                           *frames.shape[1:])(frames)

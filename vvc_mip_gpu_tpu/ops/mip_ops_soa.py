@@ -113,7 +113,8 @@ def phase4_pos(p: int, stride: int) -> int:
     return (p % 4) * (stride // 4) + p // 4
 
 
-def phase_split4(a, stride: int):
+def phase_split4(a, stride: int, pad_lanes: bool = False,
+                 pad_rows: int = 0):
     """phase_split with the phase axis in %4-MAJOR order:
     F4[phase4_pos(p), y, j] = a[y, j*stride + p].
 
@@ -123,11 +124,19 @@ def phase_split4(a, stride: int):
     the %4-grouped column order the fused distortion kernels want is a
     plain concat of slices (and a plain DMA box quartet in the Pallas
     relayout kernel), never a gather or in-register shuffle.
+
+    ``pad_lanes``/``pad_rows``: edge padding for the fetch_rows DMA
+    consumer — its HBM slices need a 128-multiple lane width and 8-row
+    alignment slack.  XLA consumers slice the logical extents back out.
     """
     f = phase_split(a, stride)
-    if stride <= 4:
-        return f
-    return f[np.asarray(_MOD4[stride])]
+    if stride > 4:
+        f = f[np.asarray(_MOD4[stride])]
+    c = f.shape[2]
+    pc = (-c) % 128 if pad_lanes else 0
+    if pc or pad_rows:
+        f = jnp.pad(f, ((0, 0), (0, pad_rows), (0, pc)))
+    return f
 
 
 _MOD4 = {s: np.concatenate([np.arange(q, s, 4) for q in range(4)])
@@ -278,7 +287,9 @@ def gather_originals_phase4(f4_frame, plan: GroupPlan,
     x0, _ = plan.x_prog
     fw = _window_phases4(f4_frame, x0, w, raster=order == "raster")
     tile = _f_row_blocks(fw, plan.y_prog, plan.ys, plan.n_rows, h)
-    # [w, n_r, h, C]; C == n_cols by construction (Wp = ctu_cols*128)
+    # [w, n_r, h, C]; C == n_cols up to DMA-alignment lane padding
+    if tile.shape[-1] != plan.n_cols:
+        tile = jax.lax.slice_in_dim(tile, 0, plan.n_cols, axis=3)
     n_cu = plan.n_rows * plan.n_cols
     if order == "xy":
         tile = jnp.transpose(tile, (0, 2, 1, 3))  # [w, h, n_r, C]

@@ -19,10 +19,11 @@ Output layout: out[p*h + y, i*C + j] = f4[run_phase(p), oy + i*sy + y, j]
   -> out [w*h, nCU] with rows (x %4-grouped major, y raster minor) — the
   order the mode-on-sublanes kernels index statically.
 
-``col_shift`` serves the frame-left wrap (x0 == 0): the left neighbor of
-CU column j is column j-1 of the LAST phase; the DMA lands shifted one
-column right and column 0 (frame-left CUs) is left undefined — the VVC
-edge-rule fixup overwrites it (reference: intra.cl:232-243).
+The frame-left wrap (x0 == 0; the left neighbor of CU column j is column
+j-1 of the LAST phase) is NOT handled here: the caller shifts the output
+one lattice column right in XLA (a single lane-shift over the small
+[h, nCU] tensor; the j == 0 garbage column is overwritten by the VVC
+edge-rule fixup, reference: intra.cl:232-243).
 
 Each grid step covers ``k`` lattice rows (one DMA box spans them, k
 output column blocks) so short-CU classes don't pay hundreds of tiny
@@ -39,86 +40,152 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _rows_per_step(n_r: int, span_bytes_per_row: int) -> int:
-    """Largest k in {8, 4, 2, 1} dividing n_r with the double-buffered
-    scratch comfortably inside VMEM."""
-    for k in (8, 4, 2, 1):
-        if n_r % k == 0 and k * span_bytes_per_row * 2 <= (4 << 20):
+def _rows_per_step(n_r: int, p: int, sy: int, h: int, c: int) -> int:
+    """Lattice rows per grid step.  Pallas blocks need the 2nd-minor dim
+    to be a multiple of 8 or the whole array dim, so k is the largest
+    multiple of 8 dividing n_r whose double-buffered scratch fits — or
+    n_r itself (single step, single buffer) when no such k exists."""
+    budget = 6 << 20
+    for k in (64, 32, 16, 8):
+        if n_r % k == 0 and p * k * sy * c * 2 * 2 <= budget:
             return k
-    return 1
+    return n_r
 
 
-def _kernel(f_ref, out_ref, scr, sems, *, runs, offs, oy, sy, h, c, k,
-            col_shift):
-    i = pl.program_id(0)
-    n = pl.num_programs(0)
-    span = (k - 1) * sy + h
+def _kernel(f_ref, out_ref, scr, sems, *, runs, offs, oy, sy, h, cl, cp,
+            k, r0, n_buf):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nb = pl.num_programs(0)
+    n = pl.num_programs(1)
+    p = sum(ln for _, ln in runs)
+    span = -(-((k - 1) * sy + h + r0) // 8) * 8  # 8-aligned slice shape
 
-    def dmas(slot, step):
-        row0 = oy + step * (k * sy)
+    def dmas(slot, bb, step):
+        # HBM row offsets and slice shapes must be 8-aligned (tiled
+        # memref): DMA from the aligned row oy - r0 with an aligned span
+        # and shift the in-scratch sample index by the STATIC remainder
+        # r0 (requires r0 + h <= sy slack, checked by the wrapper; k*sy
+        # is a multiple of 8, so every step stays aligned).  The full
+        # (128-padded) lane width cp is always copied.
+        row0 = (oy - r0) + step * (k * sy)
         out = []
         for (st, ln), off in zip(runs, offs):
-            if col_shift:
-                src = f_ref.at[pl.ds(st, ln), pl.ds(row0, span),
-                               pl.ds(0, c - 1)]
-                dst = scr.at[slot, pl.ds(off, ln), :, pl.ds(1, c - 1)]
-            else:
-                src = f_ref.at[pl.ds(st, ln), pl.ds(row0, span)]
-                dst = scr.at[slot, pl.ds(off, ln)]
+            src = f_ref.at[bb, pl.ds(st, ln), pl.ds(row0, span)]
+            dst = scr.at[pl.ds(slot * p + off, ln), pl.ds(0, span)]
             out.append(pltpu.make_async_copy(src, dst, sems.at[slot]))
         return out
 
-    @pl.when(i == 0)
-    def _():
-        for d in dmas(0, 0):
+    if n_buf == 1:
+        for d in dmas(0, b, i):
             d.start()
+        for d in dmas(0, b, i):
+            d.wait()
+        slot = 0
+    else:
+        t = b * n + i  # flat step index across the (batch, rows) grid
 
-    @pl.when(i + 1 < n)
-    def _():
-        for d in dmas((i + 1) % 2, i + 1):
-            d.start()
+        @pl.when(t == 0)
+        def _():
+            for d in dmas(0, 0, 0):
+                d.start()
 
-    slot = i % 2
-    for d in dmas(slot, i):
-        d.wait()
-    p = sum(ln for _, ln in runs)
-    v = scr[pl.ds(slot, 1)]  # [1, p, span, c]
-    for kk in range(k):
-        slab = v[:, :, kk * sy:kk * sy + h]  # [1, p, h, c]
-        out_ref[:, pl.ds(kk, 1)] = slab.reshape(p * h, 1, c)
+        @pl.when(t + 1 < nb * n)
+        def _():
+            t1 = t + 1
+            for d in dmas((t1) % 2, t1 // n, t1 % n):
+                d.start()
+
+        slot = t % 2
+        for d in dmas(slot, b, i):
+            d.wait()
+
+    # Stores: view the scratch rows as (k, sy) so the per-sample-row slab
+    # v4[pi, :, r0 + y] is a [k, cp] STATIC slice — out rows are written
+    # one (phase, y) at a time as [1, k, cl] full-sublane blocks, with no
+    # reshape that moves a dim across a unit axis (Mosaic rejects those)
+    # and no strided slicing.
+    v = scr[pl.ds(slot * p, p)]  # [p, k*sy, cp]
+    v4 = v.reshape(p, k, sy, cp)
+    for pi in range(p):
+        for y in range(h):
+            slab = v4[pi, :, r0 + y, :]  # [k, cp]
+            out_ref[:, pl.ds(pi * h + y, 1)] = slab[:, :cl][None, None]
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "runs", "oy", "sy", "h", "n_r", "col_shift", "interpret"))
-def fetch_rows(f4, *, runs: tuple[tuple[int, int], ...], oy: int, sy: int,
-               h: int, n_r: int, col_shift: bool = False,
-               interpret: bool = False):
-    """[P*h, n_r*C] relayout of the [s, R, C] phase planes (see module
-    docstring); P = total phases across ``runs``."""
-    _, f_rows, c = f4.shape
+def _fetch_rows_batched(f4b, *, runs, oy, sy, h, n_r, c_log, interpret):
+    """[B, P*h, n_r, c_log] from batched phase planes [B, s, R, Cp];
+    the batch rides a leading grid dimension (the ANY-space input takes
+    no BlockSpec blocking, so vmap must become an explicit grid axis)."""
+    nb, _, f_rows, cp = f4b.shape
+    if cp % 128:
+        raise ValueError(f"f4 lane width {cp} not 128-aligned")
     p = sum(ln for _, ln in runs)
     offs = []
     acc = 0
     for _, ln in runs:
         offs.append(acc)
         acc += ln
-    k = _rows_per_step(n_r, p * sy * c * 2)
-    span = (k - 1) * sy + h
-    assert oy + (n_r - 1) * sy + h <= f_rows, (oy, sy, n_r, h, f_rows)
+    k = _rows_per_step(n_r, p, sy, h, cp)
+    n_buf = 1 if k == n_r else 2
+    r0 = oy % 8
+    if r0 and r0 + h > sy:
+        # The static sub-tile row shift has no slack inside the (k, sy)
+        # scratch view; the caller must fall back to the XLA gather.
+        raise ValueError(f"unsupported row offset {oy} (r0={r0}, h={h}, "
+                         f"sy={sy})")
+    span = -(-((k - 1) * sy + h + r0) // 8) * 8
+    if span > k * sy:
+        raise ValueError(f"aligned span {span} exceeds the (k={k}, "
+                         f"sy={sy}) scratch view")
+    if (oy - r0) + (n_r // k - 1) * k * sy + span > f_rows:
+        raise ValueError("f4 lacks tail row slack for the aligned span")
     kernel = functools.partial(
         _kernel, runs=tuple(runs), offs=tuple(offs), oy=oy, sy=sy, h=h,
-        c=c, k=k, col_shift=col_shift)
-    out = pl.pallas_call(
+        cl=c_log, cp=cp, k=k, r0=r0, n_buf=n_buf)
+    return pl.pallas_call(
         kernel,
-        grid=(n_r // k,),
+        grid=(nb, n_r // k),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((p * h, k, c), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((1, p * h, k, c_log),
+                               lambda b, i: (b, 0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p * h, n_r, c), f4.dtype),
+        out_shape=jax.ShapeDtypeStruct((nb, p * h, n_r, c_log),
+                                       f4b.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, p, span, c), f4.dtype),
+            pltpu.VMEM((n_buf * p, k * sy, cp), f4b.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(f4)
-    return out.reshape(p * h, n_r * c)
+    )(f4b)
+
+
+def fetch_rows(f4, *, runs: tuple[tuple[int, int], ...], oy: int, sy: int,
+               h: int, n_r: int, c_log: int,
+               interpret: bool = False):
+    """[P*h, n_r*c_log] relayout of the [s, R, Cp] phase planes (see
+    module docstring); P = total phases across ``runs``.  ``f4`` must be
+    lane-padded to a 128-multiple Cp with >= 8 rows of tail slack
+    (soa.phase_split4 pad_lanes/pad_rows); ``c_log`` is the logical
+    lattice-column count.  vmap-compatible (one batch level): the batch
+    becomes the kernel's leading grid dimension.
+    """
+    p = sum(ln for _, ln in runs)
+    impl = functools.partial(
+        _fetch_rows_batched, runs=tuple(runs), oy=oy, sy=sy, h=h,
+        n_r=n_r, c_log=c_log, interpret=interpret)
+    # Validate eagerly so callers can fall back on ValueError before any
+    # custom_vmap machinery is involved.
+    jax.eval_shape(impl, jax.ShapeDtypeStruct((1,) + f4.shape, f4.dtype))
+
+    @jax.custom_batching.custom_vmap
+    def call(x):
+        return impl(x[None])[0].reshape(p * h, n_r * c_log)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, x):  # noqa: ANN001
+        assert in_batched[0], "fetch_rows: unbatched operand under vmap"
+        out = impl(x).reshape(axis_size, p * h, n_r * c_log)
+        return out, True
+
+    return call(f4)

@@ -131,8 +131,9 @@ class DistributedRunner:
             return jax.make_array_from_process_local_data(sh, fr)
 
         garr = _global(local_frames)
-        gref = garr if local_refs is None else _global(local_refs)
-        return self.engine._fn(garr, gref)
+        if local_refs is None:
+            return self.engine._fn_shared(garr, garr)
+        return self.engine._fn(garr, _global(local_refs))
 
     def local_results(self, costs, n_frames: int):
         """Yield (poc, msh, sad, satd) numpy rows for THIS process's

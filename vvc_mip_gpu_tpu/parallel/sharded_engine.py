@@ -56,19 +56,23 @@ def _validity_mask_np(width: int, true_height: int, padded_height: int):
 
 
 def _local_costs(frame, ref, width: int, local_height: int,
-                 max_performance: bool = False):
-    """Per-shard computation: halo exchange then the dense cost pipeline."""
+                 max_performance: bool = False, share_ref: bool = False):
+    """Per-shard computation: halo exchange then the dense cost pipeline.
+
+    ``share_ref``: original-samples regime — ``ref`` is ignored and the
+    frame serves both roles, sharing the gather pipeline's phase tensors.
+    """
     # Send each band's last reference row to the band below (ring shift).
     n_space = jax.lax.axis_size("space")
+    src = frame if share_ref else ref
     halo = jax.lax.ppermute(
-        ref[:, -1, :], "space",
+        src[:, -1, :], "space",
         perm=[(i, (i + 1) % n_space) for i in range(n_space)])
     is_top = jax.lax.axis_index("space") == 0
 
     def one(fr, re, hl):
-        ref_ext = jnp.concatenate([hl[None, :], re], axis=0)
-        sad, satd, msh = compute_ext(fr, ref_ext, is_top, width,
-                                     local_height,
+        sad, satd, msh = compute_ext(fr, fr if share_ref else re, hl,
+                                     is_top, width, local_height,
                                      max_performance=max_performance)
         return (msh,) if max_performance else (sad, satd, msh)
 
@@ -97,30 +101,39 @@ class ShardedMipCostEngine:
         self.local_height = self.padded_height // self.n_space
         self.n_ctus = num_ctus(width, self.padded_height)[2]
 
-        local = functools.partial(
-            _local_costs, width=width, local_height=self.local_height,
-            max_performance=max_performance)
         n_out = 1 if max_performance else 3
-        sharded = shard_map(
-            local, mesh=mesh,
-            in_specs=(P("data", "space", None), P("data", "space", None)),
-            out_specs=(P("data", "space", None),) * n_out,
-        )
 
-        def fn(frames, refs):
-            if max_performance:
-                (msh,) = sharded(frames, refs)
-                sad = satd = None
-            else:
-                sad, satd, msh = sharded(frames, refs)
-            return FrameCosts(
-                sad=sad, satd=satd,
-                min_sad_had=msh,
-                valid=jnp.asarray(_validity_mask_np(
-                    width, height, self.padded_height)),
+        def build(share_ref: bool):
+            local = functools.partial(
+                _local_costs, width=width,
+                local_height=self.local_height,
+                max_performance=max_performance, share_ref=share_ref)
+            sharded = shard_map(
+                local, mesh=mesh,
+                in_specs=(P("data", "space", None),
+                          P("data", "space", None)),
+                out_specs=(P("data", "space", None),) * n_out,
             )
 
-        self._fn = jax.jit(fn)
+            def fn(frames, refs):
+                if max_performance:
+                    (msh,) = sharded(frames, refs)
+                    sad = satd = None
+                else:
+                    sad, satd, msh = sharded(frames, refs)
+                return FrameCosts(
+                    sad=sad, satd=satd,
+                    min_sad_had=msh,
+                    valid=jnp.asarray(_validity_mask_np(
+                        width, height, self.padded_height)),
+                )
+
+            return jax.jit(fn)
+
+        # Original-samples regime shares the gather pipeline's phase
+        # tensors between the frame and reference roles.
+        self._fn_shared = build(True)
+        self._fn = build(False)
 
     def pad_frames(self, frames):
         """Pad [B, H, W] frames to the sharding height by edge replication."""
@@ -134,8 +147,8 @@ class ShardedMipCostEngine:
 
     def __call__(self, frames, ref_frames=None) -> FrameCosts:
         """frames: [B, H, W] (B divisible by the data-axis size)."""
-        if ref_frames is None:
-            ref_frames = frames
         frames = self.pad_frames(jnp.asarray(frames))
+        if ref_frames is None:
+            return self._fn_shared(frames, frames)
         ref_frames = self.pad_frames(jnp.asarray(ref_frames))
         return self._fn(frames, ref_frames)
