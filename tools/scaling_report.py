@@ -1,10 +1,15 @@
 """Multi-chip scaling report: frames/s and efficiency across mesh shapes.
 
 Measurement harness for the multi-device targets (BASELINE.md: >=80%
-frames/s scaling efficiency from 1 to N chips).  Sweeps (data, space) mesh
-factorizations of the available device count, runs the sharded engine on a
-frame batch per shape, and reports throughput and efficiency vs the
+frames/s scaling efficiency from 1 to N chips/hosts).  Sweeps (data, space)
+mesh factorizations of the available device count, runs the sharded engine
+on a frame batch per shape, and reports throughput and efficiency vs the
 single-device run scaled by device count.
+
+``--processes N`` measures the MULTI-HOST runtime instead: N real
+processes (jax.distributed, local coordinator), frames sharded across
+processes over DCN, per-process ingest, one global GSPMD dispatch —
+efficiency is fps(N processes) / (N * fps(1 process)).
 
 On real hardware run it plainly; without a pod, exercise the mechanics on a
 virtual CPU mesh (numbers then measure the harness, not the hardware):
@@ -12,6 +17,8 @@ virtual CPU mesh (numbers then measure the harness, not the hardware):
     python tools/scaling_report.py -s 1920x1080 --batch 8
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python tools/scaling_report.py -s 512x384 --batch 8 --virtual
+    python tools/scaling_report.py -s 512x384 --batch 8 --virtual \
+        --processes 2 --local-devices 2
 """
 
 from __future__ import annotations
@@ -37,14 +44,123 @@ def factorizations(n: int):
     return out
 
 
+def _worker(args) -> None:
+    """One process of the --processes run: init jax.distributed, time the
+    globally-sharded dispatch, print fps from process 0."""
+    import os
+
+    if args.virtual:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.local_devices}"
+        ).strip()
+    import jax
+
+    if args.virtual:
+        jax.config.update("jax_platforms", "cpu")
+    from vvc_mip_gpu_tpu.parallel import distributed as dist
+
+    dist.initialize(args.coordinator, args.processes, args.process_id)
+    mesh = dist.make_global_mesh(args.space)
+    w, h = (int(v) for v in args.resolution.lower().split("x"))
+    runner = dist.DistributedRunner(w, h, mesh, max_performance=True)
+    n_total = args.batch * args.processes
+    sl = runner.frame_slice(n_total)
+    rng = np.random.default_rng(0)
+    local = rng.integers(0, 1024, size=(len(sl), h, w), dtype=np.int32)
+
+    def run(i):
+        costs = runner.compute(local ^ (i + 1), n_total)
+        # sync: read one addressable shard's scalar
+        shard = costs.min_sad_had.addressable_shards[0]
+        return int(np.asarray(shard.data).ravel()[0])
+
+    run(0)  # compile
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        run(i + 1)
+    fps = args.iters * n_total / (time.perf_counter() - t0)
+    if args.process_id == 0:
+        print(json.dumps({"worker_fps": round(fps, 3)}), flush=True)
+
+
+def _multiprocess_report(args) -> None:
+    """Parent of the --processes run: measure 1-process fps, then spawn N
+    workers and report aggregate fps + scaling efficiency."""
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+
+    repo = str(Path(__file__).resolve().parent.parent)
+
+    def spawn(n_proc: int) -> float:
+        s = socket.socket()
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+        s.close()
+        env = dict(os.environ, JAX_PLATFORMS="cpu" if args.virtual else
+                   os.environ.get("JAX_PLATFORMS", ""),
+                   PYTHONPATH=repo + os.pathsep
+                   + os.environ.get("PYTHONPATH", ""))
+        procs = [subprocess.Popen(
+            [_sys.executable, __file__, "-s", args.resolution,
+             "--batch", str(args.batch), "--iters", str(args.iters),
+             "--space", str(args.space),
+             "--local-devices", str(args.local_devices)]
+            + (["--virtual"] if args.virtual else [])
+            + ["--worker", "--coordinator", f"localhost:{port}",
+               "--processes", str(n_proc), "--process-id", str(pid)],
+            env=env, cwd=repo, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+            for pid in range(n_proc)]
+        outs = [p.communicate(timeout=1800)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            if p.returncode:
+                raise RuntimeError(f"worker failed:\n{out[-3000:]}")
+        for out in outs:
+            for line in out.splitlines():
+                if line.startswith('{"worker_fps"'):
+                    return float(json.loads(line)["worker_fps"])
+        raise RuntimeError(f"no worker_fps line in:\n{outs[0][-2000:]}")
+
+    fps1 = spawn(1)
+    fps_n = spawn(args.processes)
+    print(json.dumps({
+        "resolution": args.resolution,
+        "processes": args.processes,
+        "local_devices": args.local_devices,
+        "fps_1proc": fps1,
+        "fps_nproc": fps_n,
+        "efficiency": round(fps_n / (fps1 * args.processes), 3),
+    }, indent=1))
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-s", "--resolution", default="1920x1080")
-    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--batch", type=int, default=8,
+                   help="frames per process per iteration")
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--virtual", action="store_true",
                    help="force a CPU host-device mesh before importing jax")
+    p.add_argument("--processes", type=int, default=0,
+                   help="multi-host mode: total process count")
+    p.add_argument("--local-devices", type=int, default=1,
+                   help="multi-host mode: devices per process (virtual)")
+    p.add_argument("--space", type=int, default=1,
+                   help="multi-host mode: spatial mesh axis per host")
+    p.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--coordinator", default=None, help=argparse.SUPPRESS)
+    p.add_argument("--process-id", type=int, default=0,
+                   help=argparse.SUPPRESS)
     args = p.parse_args()
+    if args.worker:
+        _worker(args)
+        return
+    if args.processes:
+        _multiprocess_report(args)
+        return
     if args.virtual:
         import os
 
