@@ -33,6 +33,13 @@ ITERS = 6
 
 def main() -> None:
     import functools
+    import os
+
+    if os.environ.get("VVC_MIP_PLATFORM"):
+        # CPU smoke runs (tiny --resolution): same env override as the
+        # CLI — the sitecustomize snapshots JAX_PLATFORMS, so the
+        # override must go through jax.config.
+        jax.config.update("jax_platforms", os.environ["VVC_MIP_PLATFORM"])
 
     from vvc_mip_gpu_tpu.models.cost_engine import _compute
     from vvc_mip_gpu_tpu.utils.cache import enable_compilation_cache

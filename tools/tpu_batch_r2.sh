@@ -1,0 +1,25 @@
+#!/bin/bash
+# One-shot TPU validation + A/B batch for round 2 (run when the axon
+# relay is up; each step logs and failures don't stop later steps).
+# Usage: bash tools/tpu_batch_r2.sh /tmp/tpu_batch.log
+set -u
+LOG=${1:-/tmp/tpu_batch.log}
+cd /root/repo
+: > "$LOG"
+log() { echo "== $*" >> "$LOG"; }
+
+log "probe $(date -u +%H:%M:%S)"
+timeout -k 10 120 python -c "import jax; print(jax.devices())" \
+    >> "$LOG" 2>&1 || { log "RELAY DOWN"; exit 1; }
+
+log "tpu bit-exact tests $(date -u +%H:%M:%S)"
+VVC_TPU_TESTS=1 timeout 2400 python -m pytest tests/test_tpu_bit_exact.py \
+    -m tpu -q >> "$LOG" 2>&1
+
+for m in none left orig both; do
+  log "bench VVC_FETCH=$m $(date -u +%H:%M:%S)"
+  VVC_FETCH=$m timeout 1200 python bench.py 2>&1 \
+      | grep -v WARNING | tail -2 >> "$LOG"
+done
+
+log "done $(date -u +%H:%M:%S)"
