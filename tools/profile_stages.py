@@ -86,6 +86,16 @@ def main():
             lambda fr: _compute(fr, fr, width=W, height=H).min_sad_had,
             frame)
         print(f"end-to-end single frame: {e2e:8.2f} ms", flush=True)
+    if "--e2e-max" in sys.argv:
+        # The bench configuration (max_performance: msh only).
+        e2e = device_ms(
+            lambda fr: _compute(fr, fr, width=W, height=H,
+                                max_performance=True).min_sad_had,
+            frame)
+        print(f"end-to-end single frame (max-perf): {e2e:8.2f} ms",
+              flush=True)
+    if "--e2e-only" in sys.argv:
+        return
 
     from vvc_mip_gpu_tpu.models.cost_engine import _pad_edge
     from vvc_mip_gpu_tpu.ops.geometry import padded_extent

@@ -17,9 +17,12 @@ VVC_TPU_TESTS=1 timeout 2400 python -m pytest tests/test_tpu_bit_exact.py \
     -m tpu -q >> "$LOG" 2>&1
 
 for m in none left orig both; do
-  log "bench VVC_FETCH=$m $(date -u +%H:%M:%S)"
-  VVC_FETCH=$m timeout 1200 python bench.py 2>&1 \
-      | grep -v WARNING | tail -2 >> "$LOG"
+  log "e2e-max VVC_FETCH=$m $(date -u +%H:%M:%S)"
+  VVC_FETCH=$m timeout 1800 python tools/profile_stages.py \
+      --e2e-max --e2e-only 2>&1 | grep -v WARNING | tail -1 >> "$LOG"
 done
+
+log "bench (default fetch) $(date -u +%H:%M:%S)"
+timeout 1200 python bench.py 2>&1 | grep -v WARNING | tail -2 >> "$LOG"
 
 log "done $(date -u +%H:%M:%S)"
