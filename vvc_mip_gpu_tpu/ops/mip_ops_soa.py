@@ -182,95 +182,6 @@ def _f_row_blocks(f, prog, idx, n: int, h: int):
     return jnp.take(f, ridx, axis=1).reshape(p, n, h, c)
 
 
-def gather_originals_phase(f_frame, plan: GroupPlan,
-                           row_perm=None, col_perm=None):
-    """gather_originals via the phase-split frame F_sx (x_prog uniform).
-
-    F[p, y, j] = frame_pad[y, j*sx + p]; CU (i, j) sample (y, x) is
-    F[x0 + x, yi + y, j] — phases slice the leading axis, lattice columns
-    are 0..n_cols-1 on the UNTOUCHED minor axis, and the only transpose
-    left is the mid-axis [w, n_r, h, nc] -> [h, w, n_r, nc] swap.
-    """
-    w, h = plan.width, plan.height
-    x0, _ = plan.x_prog
-    fw = jax.lax.slice_in_dim(f_frame, x0, x0 + w, axis=0)
-    tile = _f_row_blocks(fw, plan.y_prog, plan.ys, plan.n_rows, h)
-    tile = jax.lax.slice_in_dim(tile, 0, plan.n_cols, axis=3)
-    tile = jnp.transpose(tile, (2, 0, 1, 3))  # [h, w, n_rows, n_cols]
-    if row_perm is not None:
-        tile = tile[np.asarray(row_perm)]
-    if col_perm is not None:
-        tile = tile[:, np.asarray(col_perm)]
-    return tile.reshape(h * w, plan.n_rows * plan.n_cols)
-
-
-def gather_boundaries_phase(f_ref, plan: GroupPlan, is_top):
-    """gather_boundaries via the phase-split reference slab F_sx.
-
-    F[p, y, j] = ref_ext_pad[y, j*sx + p] (ref_ext_pad = [1+Hp, Wp] slab,
-    row 0 the halo row; NO duplicated first column — the phase layout
-    replaces it).  Boundary reads become pure slices: the top boundary of
-    CU (i, j) lives at F[x0+x, ys[i], j]; the left boundary column
-    x0-1 is phase x0-1 (or phase sx-1, column j-1, when x0 == 0 — the
-    j == 0 reads are frame-left CUs whose values the VVC edge rule
-    overwrites below, exactly as in the non-phase path).
-    """
-    w, h = plan.width, plan.height
-    n_rows, n_cols = plan.n_rows, plan.n_cols
-    sx = f_ref.shape[0]  # the F tensor's stride
-    x0 = plan.x_prog[0]
-
-    # ---- top: the row above each CU row (F row y == frame row y-1
-    # because of the slab's +1 halo row)
-    fw = jax.lax.slice_in_dim(f_ref, x0, x0 + w, axis=0)
-    if plan.y_prog is not None:
-        o, s = plan.y_prog
-        rows = jax.lax.slice(fw, (0, o, 0),
-                             (w, o + (n_rows - 1) * s + 1, fw.shape[2]),
-                             (1, s, 1))
-    else:
-        rows = jnp.take(fw, np.asarray(plan.ys), axis=1)
-    ref_t = jax.lax.slice_in_dim(rows, 0, n_cols, axis=2)
-    ref_t = ref_t.reshape(w, n_rows * n_cols)
-    # frame-top fixup: all samples <- frame row 0 sample left of the CU
-    # (ref slab row 1), DC at the frame-left corner
-    if x0 > 0:
-        pad_cols = f_ref[x0 - 1, 1, :n_cols]
-    else:
-        left = f_ref[sx - 1, 1, :]
-        pad_cols = jnp.concatenate(
-            [jnp.full((1,), VALUE_DC, left.dtype), left[:n_cols - 1]])
-    pad_t = jnp.tile(pad_cols, n_rows)
-    fix_t = jnp.logical_and(
-        jnp.asarray(np.repeat(plan.ys == 0, n_cols)), is_top)
-    ref_t = jnp.where(fix_t[None, :], pad_t[None, :], ref_t)
-
-    # ---- left: the column left of each CU column, h rows per CU row
-    if x0 > 0:
-        fl = jax.lax.slice_in_dim(f_ref, x0 - 1, x0, axis=0)
-        left_cols = _f_row_blocks(fl, _shift(plan.y_prog, 1), plan.ys + 1,
-                                  n_rows, h)[0]  # [n_rows, h, C]
-        left_cols = jax.lax.slice_in_dim(left_cols, 0, n_cols, axis=2)
-    else:
-        fl = jax.lax.slice_in_dim(f_ref, sx - 1, sx, axis=0)
-        blk = _f_row_blocks(fl, _shift(plan.y_prog, 1), plan.ys + 1,
-                            n_rows, h)[0]
-        # columns j-1: duplicate column 0 in front (j == 0 overwritten)
-        left_cols = jnp.concatenate(
-            [blk[:, :, :1], jax.lax.slice_in_dim(blk, 0, n_cols - 1,
-                                                 axis=2)], axis=2)
-    ref_l = jnp.moveaxis(left_cols, 1, 0).reshape(h, n_rows * n_cols)
-    # frame-left fixup: all samples <- sample above the CU (halo row), DC
-    # at the frame corner
-    pad_rows = jnp.where(
-        jnp.logical_and(jnp.asarray(plan.ys == 0), is_top),
-        VALUE_DC, f_ref[0, np.asarray(plan.ys), 0])  # frame col 0
-    pad_l = jnp.repeat(pad_rows, n_cols)
-    fix_l = jnp.asarray(np.tile(plan.xs == 0, n_rows))
-    ref_l = jnp.where(fix_l[None, :], pad_l[None, :], ref_l)
-    return ref_t, ref_l
-
-
 def gather_originals_phase4(f4_frame, plan: GroupPlan,
                             row_perm=None, order: str = "yx"):
     """gather_originals via the %4-MAJOR phase-split frame F4.
@@ -304,8 +215,8 @@ def gather_boundaries_phase4(f4_ref, plan: GroupPlan, is_top,
                              t_mod4: bool = True):
     """gather_boundaries via the %4-major phase-split reference slab.
 
-    Same contract as gather_boundaries_phase (VVC edge rules via static
-    masks) except ref_t's sample rows come out %4-GROUPED when ``t_mod4``
+    Same contract as gather_boundaries (VVC edge rules via static masks)
+    except ref_t's sample rows come out %4-GROUPED when ``t_mod4``
     (free — exactly the order the fused kernels consume; raster with
     ``t_mod4=False`` for the CPU path).  ref_l rows stay raster.
     """
