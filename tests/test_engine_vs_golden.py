@@ -102,3 +102,22 @@ def test_4k_full_scale():
     """3840x2160 engine-vs-golden, one frame (reference 4K workloads:
     powerTracer_NVIDIA.py:33-80)."""
     _check(3840, 2160)
+
+
+def test_compute_batch_matches_single():
+    """The batched (vmapped) engine dispatch must be bit-identical to the
+    per-frame path — the CLI's production dispatch (--BatchFrames)."""
+    import jax.numpy as jnp
+
+    from vvc_mip_gpu_tpu.io import frames as fio
+    from vvc_mip_gpu_tpu.models.cost_engine import MipCostEngine
+
+    w, h = 256, 192
+    frames = fio.synthetic_frames(3, w, h).astype(np.int32)
+    engine = MipCostEngine(w, h, max_performance=True)
+    batched = engine.compute_batch(jnp.asarray(frames))
+    for f in range(3):
+        single = engine(frames[f])
+        np.testing.assert_array_equal(
+            np.asarray(batched.min_sad_had[f]),
+            np.asarray(single.min_sad_had))

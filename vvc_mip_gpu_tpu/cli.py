@@ -205,43 +205,54 @@ def run(cfg: EngineConfig, synthetic: bool = False,
 
         engine = MipCostEngine(cfg.width, cfg.height,
                                max_performance=cfg.max_performance)
-        # Sliding-window pipelining: keep a few frames' dispatches in
-        # flight so frame N+1 computes while frame N reads back — the
+        # Batched pipelined dispatch: --BatchFrames frames per device
+        # call (one dispatch round-trip per chunk, like bench.py), with
+        # the next chunk enqueued while the previous reads back — the
         # analog of the reference's BUFFER_SLOTS circular buffer + async
         # write queue (main_aux_functions.h:5, main.cpp:886-898).
-        window = max(2, cfg.batch_frames)  # CLI --BatchFrames (default 8)
-        in_flight: list[tuple[int, object]] = []
+        chunk_n = max(1, cfg.batch_frames)  # CLI --BatchFrames (default 8)
+        in_flight: list[tuple[list[int], object]] = []
 
         def drain(slot):
-            f, costs = slot
+            pocs, costs = slot
             with timer.stage("READ DISTORTION"):
                 msh = np.asarray(costs.min_sad_had)
                 sad = (None if cfg.max_performance
                        else np.asarray(costs.sad))
                 satd = (None if cfg.max_performance
                         else np.asarray(costs.satd))
-            _export_frame(cfg, export, msh, sad, satd, poc=f)
-            _collect_target(f, msh, sad, satd)
-            if target_ctu is not None:
-                from vvc_mip_gpu_tpu.models.inspect import report_target_ctu
+            for b, f in enumerate(pocs):
+                _export_frame(cfg, export, msh[b],
+                              None if sad is None else sad[b],
+                              None if satd is None else satd[b], poc=f)
+                _collect_target(f, msh[b],
+                                None if sad is None else sad[b],
+                                None if satd is None else satd[b])
+                if target_ctu is not None:
+                    from vvc_mip_gpu_tpu.models.inspect import (
+                        report_target_ctu)
 
-                report_target_ctu(msh, cfg.width, target_ctu,
-                                  sad=None if sad is None else sad,
-                                  satd=None if satd is None else satd)
+                    report_target_ctu(
+                        msh[b], cfg.width, target_ctu,
+                        sad=None if sad is None else sad[b],
+                        satd=None if satd is None else satd[b])
 
         import os
 
+        pending = [f for f in range(cfg.n_frames)
+                   if not (resume and os.path.exists(_out_path(cfg, f)))]
         for f in range(cfg.n_frames):
-            if resume and os.path.exists(_out_path(cfg, f)):
+            if f not in pending:
                 print(f"skipping frame {f} (exists: {_out_path(cfg, f)})")
-                continue
+        for c0 in range(0, len(pending), chunk_n):
+            pocs = pending[c0:c0 + chunk_n]
             with timer.stage("ENQUEUE KERNELS"):
-                costs = engine(
-                    frames[f].astype(np.int32),
+                costs = engine.compute_batch(
+                    frames[pocs].astype(np.int32),
                     None if ref_frames is None
-                    else ref_frames[f].astype(np.int32))
-            in_flight.append((f, costs))
-            if len(in_flight) >= window:
+                    else ref_frames[np.asarray(pocs)].astype(np.int32))
+            in_flight.append((pocs, costs))
+            if len(in_flight) >= 2:
                 drain(in_flight.pop(0))
         while in_flight:
             drain(in_flight.pop(0))

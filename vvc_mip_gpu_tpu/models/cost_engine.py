@@ -439,6 +439,8 @@ class MipCostEngine:
                                  max_performance=max_performance)
         self._fn1 = jax.jit(lambda frame: base(frame, frame))
         self._fn = jax.jit(base)
+        self._fnb1 = jax.jit(jax.vmap(lambda frame: base(frame, frame)))
+        self._fnb = jax.jit(jax.vmap(base))
 
     def __call__(self, frame, ref_frame=None) -> FrameCosts:
         """frame: [H, W] integer luma samples (10-bit).  ref_frame: the
@@ -448,3 +450,12 @@ class MipCostEngine:
         if ref_frame is None:
             return self._fn1(frame)
         return self._fn(frame, ref_frame)
+
+    def compute_batch(self, frames, ref_frames=None) -> FrameCosts:
+        """Batched search: [B, H, W] frames in ONE device dispatch (the
+        per-call dispatch cost does not scale with B — the analog of the
+        reference's BUFFER_SLOTS pipelined enqueue, main.cpp:886-898).
+        FrameCosts fields gain a leading batch axis."""
+        if ref_frames is None:
+            return self._fnb1(frames)
+        return self._fnb(frames, ref_frames)
