@@ -25,4 +25,13 @@ done
 log "bench (default fetch) $(date -u +%H:%M:%S)"
 timeout 1200 python bench.py 2>&1 | grep -v WARNING | tail -2 >> "$LOG"
 
+log "side benches $(date -u +%H:%M:%S)"
+: > BENCH_SIDE.json
+for a in "--window reference" "--filtered" \
+         "--resolution 3840x2160 --batch 4"; do
+  log "bench $a"
+  timeout 1800 python bench.py $a 2>&1 | grep -v WARNING | tail -1 \
+      | tee -a BENCH_SIDE.json >> "$LOG"
+done
+
 log "done $(date -u +%H:%M:%S)"
