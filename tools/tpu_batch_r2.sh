@@ -16,13 +16,17 @@ log "tpu bit-exact tests $(date -u +%H:%M:%S)"
 VVC_TPU_TESTS=1 timeout 2400 python -m pytest tests/test_tpu_bit_exact.py \
     -m tpu -q >> "$LOG" 2>&1
 
-for m in none left orig both; do
-  log "e2e-max VVC_FETCH=$m $(date -u +%H:%M:%S)"
-  VVC_FETCH=$m timeout 1800 python tools/profile_stages.py \
-      --e2e-max --e2e-only 2>&1 | grep -v WARNING | tail -1 >> "$LOG"
+# 2-D A/B: fetch_rows roles x CTU-direct emission.
+for c in 1 0; do
+  for m in none left orig both; do
+    log "e2e-max VVC_FETCH=$m VVC_CTU_EMIT=$c $(date -u +%H:%M:%S)"
+    VVC_FETCH=$m VVC_CTU_EMIT=$c timeout 1800 python \
+        tools/profile_stages.py --e2e-max --e2e-only 2>&1 \
+        | grep -v WARNING | tail -1 >> "$LOG"
+  done
 done
 
-log "bench (default fetch) $(date -u +%H:%M:%S)"
+log "bench (default levers) $(date -u +%H:%M:%S)"
 timeout 1200 python bench.py 2>&1 | grep -v WARNING | tail -2 >> "$LOG"
 
 log "side benches $(date -u +%H:%M:%S)"

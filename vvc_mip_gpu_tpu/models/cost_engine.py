@@ -69,6 +69,29 @@ import os as _os
 
 _FETCH_MODE: str = _os.environ.get("VVC_FETCH", "both")
 
+# CTU-direct kernel emission ("1"): wide groups' distortion kernels
+# scatter their cost tiles straight into the reference CTU layout via
+# the output BlockSpec (no XLA reorder pass, no per-class input concat);
+# "0" keeps the lattice-emit + reorder path everywhere (A/B lever).
+_CTU_EMIT: str = _os.environ.get("VVC_CTU_EMIT", "1")
+
+
+def _ctu_T(gp) -> int | None:
+    """CTUs-per-grid-step for the CTU-direct emission of this group, or
+    None where the lattice-emit path is better: the largest divisor T of
+    ctu_cols with tile = T*cu_cols lanes in [120, 1024] — narrower tiles
+    under-fill the 128-lane VPU worse than the reorder pass costs."""
+    best = None
+    for t in range(1, gp.ctu_cols + 1):
+        if gp.ctu_cols % t:
+            continue
+        tile = t * gp.cu_cols
+        if tile > 1024:
+            break
+        if tile >= 120:
+            best = t
+    return best
+
 
 def _use_pallas() -> bool:
     if _PALLAS_OVERRIDE is not None:
@@ -100,15 +123,17 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
                  use_pallas: bool | None = None,
                  max_performance: bool = False,
                  f_frame=None, f_slab=None, f_reff=None):
-    """Costs of one shape class in MODE-MINOR lattice order: ([nCU, 2M]
-    sad, satd), or a single [nCU, 2M] min(2*SAD, SATD) with
-    ``max_performance``.  Mode-minor is emitted directly by the Pallas
-    kernels so the CTU-layout reorder never moves the mode axis to minor.
+    """Per-group cost blocks of one shape class in the reference CTU
+    layout: {group_index: [nCTU, n*2M] minSadHad} with
+    ``max_performance``, else {group_index: (sad, satd)} pairs.
 
-    The CU axis concatenates every group's lattice-ordered CUs in group
-    order; _compute splits it back per group and reorders.  On TPU the
-    upsample+distortion stage runs as one fused Pallas kernel (no HBM
-    intermediates) and the gathers run via the %4-major phase pipeline:
+    On TPU, wide groups (see _ctu_T) emit the CTU layout DIRECTLY from
+    the kernel's output BlockSpec (no input concat, no reorder pass);
+    the rest are concatenated into one lattice-order kernel call whose
+    mode-minor output is reordered by a mid-axis-only XLA transpose.
+    The upsample+distortion stage runs as one fused Pallas kernel (no
+    HBM intermediates) and the gathers run via the %4-major phase
+    pipeline:
     ref_l and (for the mode-on-sublanes classes) the x-major original
     samples come from the pure-copy fetch_rows relayout kernel, ref_t and
     the grouped classes' %4-sample orders fall out of contiguous phase-
@@ -145,7 +170,33 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
     else:
         pred_perm = None
         row_perm = col_perm = None
-    ref_t_parts, ref_l_parts, orig_parts = [], [], []
+    kernel_kw = None
+    if use_pallas:
+        # The whole prediction chain is FUSED into the distortion kernel:
+        # every kernel takes the raw raster boundaries and does the
+        # boundary reduce + limb split + one bf16 MXU dot against the
+        # augmented matrix (offset term, rounding, +first and both wings
+        # folded in — see ops/pallas/pred.py) in-kernel.  Neither the
+        # limb stack nor the ~600 MB/frame prediction tensor ever exists
+        # in HBM.  (An earlier pre-limb-fold in-kernel matmul measured
+        # 2x slower; the single-dot form with contiguous row-slice
+        # consumption wins.)
+        from vvc_mip_gpu_tpu.ops.pallas import pred as pallas_pred
+        from vvc_mip_gpu_tpu.ops.pallas.distortion import (
+            default_cu_tile, fused_cu_tile, upsample_distortion)
+
+        two_m = 2 * PRED_MODES[shape.size_id]
+        mat = jnp.asarray(pallas_pred._augmented_matrix(
+            shape.size_id, pred_perm, mode_minor))
+        sid1 = mode_minor and not (w == 4 and h == 4)
+        kernel_kw = dict(h=h, w=w, r=r, inputs_permuted=True, mat=mat,
+                         two_m=two_m,
+                         sample_order="xmajor4" if sid1 else "raster",
+                         reft_permuted=True, interpret=_PALLAS_INTERPRET,
+                         emit="msh_t" if max_performance
+                         else "sad_satd_t")
+    out: dict[int, object] = {}
+    pending = []
     for gp in cplan.groups:
         stride = _group_stride(gp)
         if stride is not None and f_frame is not None:
@@ -172,55 +223,58 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
                     _mod4_major as _m4)
 
                 rt = rt[np.asarray(_m4(w))]
-        ref_t_parts.append(rt)
-        ref_l_parts.append(rl)
-        orig_parts.append(og)
-    ref_t = jnp.concatenate(ref_t_parts, axis=-1)  # [w, nCU]
-    ref_l = jnp.concatenate(ref_l_parts, axis=-1)  # [h, nCU]
-    orig = jnp.concatenate(orig_parts, axis=-1)  # [h*w, nCU]
+        t_ctus = (_ctu_T(gp)
+                  if use_pallas and _CTU_EMIT == "1" else None)
+        if t_ctus is not None:
+            # CTU-direct emission: this group's kernel call consumes its
+            # own gathered inputs (no class-wide concat) and its output
+            # BlockSpec scatters cost tiles straight into the reference
+            # CTU layout — both the concat and the reorder pass vanish.
+            out[gp.group_index] = upsample_distortion(
+                None, og, rt, rl,
+                ctu_layout=(gp.ctu_rows, gp.ctu_cols,
+                            gp.cu_rows, gp.cu_cols, t_ctus),
+                **kernel_kw)
+        else:
+            pending.append((gp, rt, rl, og))
+    if not pending:
+        return out
+    gps = [p[0] for p in pending]
+    ref_t = jnp.concatenate([p[1] for p in pending], axis=-1)  # [w, nCU]
+    ref_l = jnp.concatenate([p[2] for p in pending], axis=-1)  # [h, nCU]
+    orig = jnp.concatenate([p[3] for p in pending], axis=-1)  # [h*w, nCU]
 
     if use_pallas:
-        # The whole prediction chain is FUSED into the distortion kernel:
-        # every kernel takes the raw raster boundaries and does the
-        # boundary reduce + limb split + one bf16 MXU dot against the
-        # augmented matrix (offset term, rounding, +first and both wings
-        # folded in — see ops/pallas/pred.py) in-kernel.  Neither the
-        # limb stack nor the ~600 MB/frame prediction tensor ever exists
-        # in HBM.  (An earlier pre-limb-fold in-kernel matmul measured
-        # 2x slower; the single-dot form with contiguous row-slice
-        # consumption wins.)
-        from vvc_mip_gpu_tpu.ops.pallas import pred as pallas_pred
-        from vvc_mip_gpu_tpu.ops.pallas.distortion import (
-            default_cu_tile, fused_cu_tile, upsample_distortion)
-
-        two_m = 2 * PRED_MODES[shape.size_id]
         tile = (default_cu_tile(h, w) if mode_minor
                 else fused_cu_tile(h, w, two_m))
-        mat = jnp.asarray(pallas_pred._augmented_matrix(
-            shape.size_id, pred_perm, mode_minor))
-        sid1 = mode_minor and not (w == 4 and h == 4)
-        return upsample_distortion(None, orig, ref_t, ref_l,
-                                   h=h, w=w, r=r, cu_tile=tile,
-                                   inputs_permuted=True, mat=mat,
-                                   two_m=two_m,
-                                   sample_order=("xmajor4" if sid1
-                                                 else "raster"),
-                                   reft_permuted=True,
-                                   interpret=_PALLAS_INTERPRET,
-                                   emit="msh_t" if max_performance
-                                   else "sad_satd_t")
+        costs = upsample_distortion(None, orig, ref_t, ref_l,
+                                    cu_tile=tile, **kernel_kw)
+    else:
+        red_t = soa.reduce_boundary(ref_t, shape.boundary_size)
+        red_l = soa.reduce_boundary(ref_l, shape.boundary_size)
+        pred = soa.reduced_prediction_all_modes(
+            red_t, red_l, shape.size_id, sample_perm=pred_perm)
 
-    red_t = soa.reduce_boundary(ref_t, shape.boundary_size)
-    red_l = soa.reduce_boundary(ref_l, shape.boundary_size)
-    pred = soa.reduced_prediction_all_modes(red_t, red_l, shape.size_id,
-                                            sample_perm=pred_perm)
-
-    if shape.size_id > 0:
-        pred = soa.upsample_all(pred, ref_t, ref_l, w, h, r)
-    sad, satd = soa.distortion(orig, pred, h, w)
-    if max_performance:
-        return jnp.minimum(2 * sad, satd).T
-    return sad.T, satd.T
+        if shape.size_id > 0:
+            pred = soa.upsample_all(pred, ref_t, ref_l, w, h, r)
+        sad, satd = soa.distortion(orig, pred, h, w)
+        costs = (jnp.minimum(2 * sad, satd).T if max_performance
+                 else (sad.T, satd.T))
+    # Split the pending CU axis back per group (static lattice sizes) and
+    # reorder each from lattice order to the reference CTU layout.
+    off = 0
+    for gp in gps:
+        n = gp.n_rows * gp.n_cols
+        if max_performance:
+            out[gp.group_index] = gp.lattice_costs_to_ctu_mode_minor(
+                costs[off:off + n])
+        else:
+            sad_t, satd_t = costs
+            out[gp.group_index] = (
+                gp.lattice_costs_to_ctu_mode_minor(sad_t[off:off + n]),
+                gp.lattice_costs_to_ctu_mode_minor(satd_t[off:off + n]))
+        off += n
+    return out
 
 
 def _gather_group_phase4(f4_frame, f4_slab, f4_reff, gp, is_top, *,
@@ -354,25 +408,15 @@ def compute_ext(frame, ref, halo_row, is_top, width: int, height: int,
     satd_blocks: dict[int, jax.Array] = {}
     msh_blocks: dict[int, jax.Array] = {}
     for cplan in class_plans(width, height):
-        costs = _class_costs(frame_pad, ref_pad, is_top, cplan,
-                             max_performance=max_performance,
-                             f_frame=f_frame, f_slab=f_slab,
-                             f_reff=f_reff)
-        # Split the class CU axis back per group (static lattice sizes) and
-        # reorder each from lattice order to the reference CTU layout.
-        off = 0
-        for gp in cplan.groups:
-            n = gp.n_rows * gp.n_cols
+        blocks = _class_costs(frame_pad, ref_pad, is_top, cplan,
+                              max_performance=max_performance,
+                              f_frame=f_frame, f_slab=f_slab,
+                              f_reff=f_reff)
+        for gidx, blk in blocks.items():
             if max_performance:
-                msh_blocks[gp.group_index] = (
-                    gp.lattice_costs_to_ctu_mode_minor(costs[off:off + n]))
+                msh_blocks[gidx] = blk
             else:
-                sad_t, satd_t = costs
-                sad_blocks[gp.group_index] = (
-                    gp.lattice_costs_to_ctu_mode_minor(sad_t[off:off + n]))
-                satd_blocks[gp.group_index] = (
-                    gp.lattice_costs_to_ctu_mode_minor(satd_t[off:off + n]))
-            off += n
+                sad_blocks[gidx], satd_blocks[gidx] = blk
     if max_performance:
         return None, None, _flatten_strided(msh_blocks)
     sad_flat = _flatten_strided(sad_blocks)
