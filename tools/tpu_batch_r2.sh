@@ -5,6 +5,9 @@
 set -u
 LOG=${1:-/tmp/tpu_batch.log}
 cd /root/repo
+# tools/*.py import the package from the repo root, and /root/.axon_site
+# must stay importable for the axon TPU plugin.
+export PYTHONPATH="/root/repo:${PYTHONPATH:-/root/.axon_site}"
 : > "$LOG"
 log() { echo "== $*" >> "$LOG"; }
 
@@ -26,6 +29,10 @@ for c in 1 0; do
   done
 done
 
+log "e2e full-report (default levers) $(date -u +%H:%M:%S)"
+timeout 1800 python tools/profile_stages.py --e2e --e2e-only 2>&1 \
+    | grep -v WARNING | tail -1 >> "$LOG"
+
 log "bench (default levers) $(date -u +%H:%M:%S)"
 timeout 1200 python bench.py 2>&1 | grep -v WARNING | tail -2 >> "$LOG"
 
@@ -37,5 +44,9 @@ for a in "--window reference" "--filtered" \
   timeout 1800 python bench.py $a 2>&1 | grep -v WARNING | tail -1 \
       | tee -a BENCH_SIDE.json >> "$LOG"
 done
+
+log "per-class profile (default levers) $(date -u +%H:%M:%S)"
+timeout 3000 python tools/profile_stages.py --per-class 2>&1 \
+    | grep -v WARNING >> "$LOG"
 
 log "done $(date -u +%H:%M:%S)"
