@@ -84,6 +84,34 @@ def test_pallas_engine_wiring_interpret(max_performance):
             f"{field}: {mism.sum()} mismatches at {np.argwhere(mism)[:5]}")
 
 
+@pytest.mark.parametrize("fetch", ["both", "left", "orig", "none"])
+@pytest.mark.parametrize("ctu_emit", ["1", "0"])
+def test_fetch_emit_levers_interpret(fetch, ctu_emit):
+    """Every VVC_FETCH x VVC_CTU_EMIT lever combination must be bit-exact
+    through the engine (interpret-mode kernels) — whichever wins the TPU
+    A/B becomes the default, so all candidates need standing coverage."""
+    from vvc_mip_gpu_tpu.models import cost_engine as ce
+
+    frame = RNG.integers(0, 1024, size=(128, 128), dtype=np.int64)
+    old = (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._FETCH_MODE,
+           ce._CTU_EMIT)
+    ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET = True, True
+    ce._FETCH_MODE, ce._CTU_EMIT = fetch, ctu_emit
+    try:
+        got = MipCostEngine(128, 128, max_performance=True)(
+            frame.astype(np.int32))
+    finally:
+        (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._FETCH_MODE,
+         ce._CTU_EMIT) = old
+    exp = gm.frame_costs(frame, frame)
+    valid = np.asarray(got.valid)
+    e = gm.flatten_strided(exp, "min_sad_had")
+    a = np.asarray(got.min_sad_had, np.int64)
+    mism = (e != a) & valid
+    assert not mism.any(), (
+        f"fetch={fetch} ctu_emit={ctu_emit}: {mism.sum()} mismatches")
+
+
 @pytest.mark.slow
 def test_416x240():
     _check(416, 240)

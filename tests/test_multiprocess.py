@@ -37,7 +37,7 @@ def _spawn_workers(n_proc: int, local_devices: int, args: list[str]):
         VVC_MIP_PLATFORM="cpu",
         PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
     )
-    for attempt in range(2):
+    for attempt in range(3):
         port = _free_port()
         procs = []
         for pid in range(n_proc):
@@ -53,13 +53,13 @@ def _spawn_workers(n_proc: int, local_devices: int, args: list[str]):
             outs.append(out)
         if all(p.returncode == 0 for p in procs):
             return outs
-        # Cold-cache contention on a 1-CPU host can stall one worker's
-        # compile past Gloo's fixed 30 s key-value timeout while its peer
-        # already executes; the first attempt warmed the persistent
-        # compile cache, so retry once for this signature only.
-        transient = any("Gloo context initialization failed" in o
-                        or "DEADLINE_EXCEEDED" in o for o in outs)
-        if attempt == 1 or not transient:
+        # Contention on a 1-CPU host (e.g. the rest of the suite) can
+        # stall one worker's compile past Gloo's fixed 30 s key-value /
+        # connect timeouts while its peer already executes, with varying
+        # surface errors — retry with the persistent compile cache now
+        # warm.  A deterministic failure still fails: it reproduces on
+        # every attempt and the last output is asserted below.
+        if attempt == 2:
             break
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"

@@ -36,6 +36,15 @@ timeout 1800 python tools/profile_stages.py --e2e --e2e-only 2>&1 \
 log "bench (default levers) $(date -u +%H:%M:%S)"
 timeout 1200 python bench.py 2>&1 | grep -v WARNING | tail -2 >> "$LOG"
 
+# Bench-level (dispatch-inclusive) A/B on the three most informative
+# configs: old-pipeline proxy, fetch-only, emit-only.
+for cfg in "none 0" "both 0" "none 1"; do
+  set -- $cfg
+  log "bench VVC_FETCH=$1 VVC_CTU_EMIT=$2 $(date -u +%H:%M:%S)"
+  VVC_FETCH=$1 VVC_CTU_EMIT=$2 timeout 1200 python bench.py 2>&1 \
+      | grep -v WARNING | tail -1 >> "$LOG"
+done
+
 log "side benches $(date -u +%H:%M:%S)"
 : > BENCH_SIDE.json
 for a in "--window reference" "--filtered" \
