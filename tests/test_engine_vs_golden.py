@@ -149,3 +149,29 @@ def test_compute_batch_matches_single():
         np.testing.assert_array_equal(
             np.asarray(batched.min_sad_had[f]),
             np.asarray(single.min_sad_had))
+
+
+def test_compute_batch_pallas_interpret():
+    """Pallas kernels UNDER vmap (batched grid dims, fetch_rows DMA and
+    CTU-direct output scatter included) — the TPU bench/CLI dispatch
+    shape — must match the per-frame interpret path bit-for-bit."""
+    import jax.numpy as jnp
+
+    from vvc_mip_gpu_tpu.io import frames as fio
+    from vvc_mip_gpu_tpu.models import cost_engine as ce
+    from vvc_mip_gpu_tpu.models.cost_engine import MipCostEngine
+
+    w, h = 128, 128
+    frames = fio.synthetic_frames(2, w, h).astype(np.int32)
+    old = ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET
+    ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET = True, True
+    try:
+        engine = MipCostEngine(w, h, max_performance=True)
+        batched = engine.compute_batch(jnp.asarray(frames))
+        singles = [engine(frames[f]) for f in range(2)]
+    finally:
+        ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET = old
+    for f in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(batched.min_sad_had[f]),
+            np.asarray(singles[f].min_sad_had))
