@@ -50,3 +50,26 @@ def test_phase_gather_plans_never_wrap(w, h):
             assert gp.n_cols <= wp // stride
     # the phase path must carry the overwhelming majority of groups
     assert n_phase >= 4 * max(n_fallback, 1)
+
+
+@pytest.mark.parametrize("w,h", [(416, 240), (608, 192), (1920, 1080)])
+def test_pallas_engine_traces_all_resolutions(w, h):
+    """The full pallas engine branch (fetch_rows plans, CTU-direct
+    emission shape asserts, augmented matrices) must TRACE at partial-CTU
+    and production resolutions in both emit modes — catches any
+    ctu_layout/lattice shape mismatch without executing kernels."""
+    import jax
+    import jax.numpy as jnp
+
+    from vvc_mip_gpu_tpu.models import cost_engine as ce
+
+    old = ce._PALLAS_OVERRIDE
+    ce._PALLAS_OVERRIDE = True
+    try:
+        for mp in (True, False):
+            jax.eval_shape(
+                lambda f, _mp=mp: ce._compute(f, f, width=w, height=h,
+                                              max_performance=_mp),
+                jax.ShapeDtypeStruct((h, w), jnp.int32))
+    finally:
+        ce._PALLAS_OVERRIDE = old
