@@ -49,7 +49,8 @@ def class_ops(h: int, w: int, r: int, two_m: int, n_cu: int) -> dict:
         up_ops += 4 * r * w  # horizontal pass produces r*w
     if r < h or r < w:
         up_ops += 4 * h * w  # vertical (or only) pass produces h*w
-    ops_mode = per_sample * h * w + up_ops + 6
+    pred_epilogue = 4 * r * r  # matmul acc -> int32 >>6, clamp lo/hi
+    ops_mode = per_sample * h * w + up_ops + pred_epilogue + 6
     ops = n_cu * two_m * ops_mode
     bytes_in = n_cu * (h * w * 4          # originals
                        + (h + w) * 4)     # boundary rows (amortized)
