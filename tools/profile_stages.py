@@ -338,8 +338,14 @@ def main():
 
         ms = device_ms(body, args[0])
         b_total += ms
+        # Analytic VPU floor for this class (tools/roofline.py model) —
+        # measured/floor is the per-class efficiency gap to attack.
+        from tools.roofline import class_ops
+        floor = (class_ops(h, w, r, two_m, n_cu)["ops"]
+                 / 3.9e12 * 1e3)
         print(f"  class {w:3d}x{h:<3d} sid{shape.size_id} nCU={n_cu:6d} "
-              f"2M={two_m:2d} tile={tile:4d}: {ms:7.2f} ms", end="")
+              f"2M={two_m:2d} tile={tile:4d}: {ms:7.2f} ms "
+              f"(floor {floor:5.2f}, x{ms / floor:4.1f})", end="")
 
         # CTU-direct emission variant, per group (the engine's
         # VVC_CTU_EMIT=1 path) — comparable per-class number.
