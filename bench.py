@@ -140,7 +140,11 @@ def main() -> None:
     # main.cpp:1222-1244).
     t0 = time.perf_counter()
     outs = [run_batch(frames ^ (WARMUP + i + 1)) for i in range(ITERS)]
-    checksum = sum(int(o) for o in outs)
+    # ONE drain for the whole pipelined window: reduce the per-iteration
+    # sanity values on device and read back a single scalar (per-iteration
+    # int() readbacks would add one relay round-trip per iteration to the
+    # timed region).
+    checksum = int(jnp.stack(outs).sum())
     assert checksum != 0
     dt = (time.perf_counter() - t0) / (ITERS * BATCH)
     fps = 1.0 / dt
