@@ -16,14 +16,47 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
+ASSUMED_BASELINE_FPS = 60.0
+PROBE_TIMEOUT_S = 40.0   # a healthy relay answers jax.devices() in <10 s
+MAX_WALL_S = 900.0       # hard bound on total retry time (driver safety)
+_T_START = time.monotonic()
+
+
+def _probe_backend() -> bool:
+    """Fast liveness probe for the remote-TPU relay, in a subprocess so a
+    hung backend handshake cannot wedge this process (a relay outage once
+    cost a whole round an artifact: the in-process retry loop burned the
+    driver's window and timed out with rc=124)."""
+    env = dict(os.environ)
+    code = "import jax; assert len(jax.devices()) > 0"
+    try:
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           timeout=PROBE_TIMEOUT_S,
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _emit_error(reason: str) -> None:
+    print(json.dumps({
+        "metric": "mip_search_1080p_frames_per_second",
+        "value": None,
+        "unit": "frames/s",
+        "vs_baseline": None,
+        "error": reason,
+    }))
+
 import jax
 import jax.numpy as jnp
-
-ASSUMED_BASELINE_FPS = 60.0
 W, H = 1920, 1080
 BATCH = 8  # frames per dispatch (the analog of the reference's
            # BUFFER_SLOTS pipelining, main_aux_functions.h:5)
@@ -166,13 +199,22 @@ def _transient(exc: Exception) -> bool:
 
 
 if __name__ == "__main__":
+    # Fail FAST when the relay is down: probe in a subprocess under a
+    # 40 s timeout and emit a diagnostic JSON artifact (exit 0) instead
+    # of hanging into the driver's rc=124 window.
+    if not os.environ.get("VVC_MIP_PLATFORM") and not _probe_backend():
+        _emit_error(f"backend unavailable (probe timeout {PROBE_TIMEOUT_S}s)")
+        sys.exit(0)
     # The remote-TPU relay occasionally throws transient backend errors
-    # (FAILED_PRECONDITION); one retry must not cost the benchmark run.
+    # (FAILED_PRECONDITION); one retry must not cost the benchmark run,
+    # but total retry time is hard-bounded.
     for attempt in range(3):
         try:
             main()
             break
         except Exception as e:
-            if attempt == 2 or not _transient(e):
-                raise
+            if (attempt == 2 or not _transient(e)
+                    or time.monotonic() - _T_START > MAX_WALL_S):
+                _emit_error(f"{type(e).__name__}: {e}"[:300])
+                sys.exit(0)
             time.sleep(10)
