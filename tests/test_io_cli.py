@@ -170,3 +170,28 @@ def test_cli_sharded_mesh_and_resume(tmp_path, capsys):
     capsys.readouterr()
     assert cli.main(args + ["--Resume"]) == 0
     assert "nothing to do" in capsys.readouterr().out
+
+
+def test_cli_ragged_tail_chunk(tmp_path):
+    """3 frames with --BatchFrames 2: the tail chunk (1 frame) is padded
+    to the SAME compiled batch shape (no second XLA compile) and the
+    duplicate result is dropped — all 3 per-frame CSVs must match the
+    unbatched engine (ADVICE r2: ragged-tail recompile)."""
+    from vvc_mip_gpu_tpu import cli
+    from vvc_mip_gpu_tpu.models.cost_engine import MipCostEngine
+
+    w, h = 128, 128
+    rc = cli.main([
+        "-f", "3", "-s", f"{w}x{h}", "--Synthetic",
+        "--BatchFrames", "2", "-l", str(tmp_path / "r_"),
+    ])
+    assert rc == 0
+    frames = fio.synthetic_frames(3, w, h)
+    engine = MipCostEngine(w, h, max_performance=True)
+    for f in range(3):
+        got = pd.read_csv(tmp_path / f"r_mip_decisions_poc{f}.csv")
+        exp = engine(frames[f].astype(np.int32))
+        valid = np.asarray(exp.valid).ravel()
+        e = np.asarray(exp.min_sad_had, np.int64).ravel()
+        a = got.minSadHad.to_numpy()
+        assert not ((a != e) & valid).any(), f"frame {f} mismatch"

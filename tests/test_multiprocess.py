@@ -48,9 +48,16 @@ def _spawn_workers(n_proc: int, local_devices: int, args: list[str]):
                 env=env, cwd=REPO,
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
         outs = []
-        for p in procs:
-            out, _ = p.communicate(timeout=900)
-            outs.append(out)
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=900)
+                outs.append(out)
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.communicate()
+            raise
         if all(p.returncode == 0 for p in procs):
             return outs
         # Contention on a 1-CPU host (e.g. the rest of the suite) can
@@ -162,3 +169,41 @@ print("OK", flush=True)
         a = np.load(tmp_path / f"msh{pid}.npy").astype(np.int64)
         mism = (a != e) & valid
         assert not mism.any(), f"proc {pid}: {mism.sum()} mismatches"
+
+
+def test_multiprocess_empty_slice_filter_and_target(tmp_path):
+    """One host owns ZERO frames (n_frames < n_processes) while
+    --FilterType and --TargetCTU are set: the empty-slice host must still
+    run the SAME GSPMD program as its peers (refs as a (0,H,W) array, not
+    None — divergent programs hang the collective dispatch), and the
+    POC-columned target CSV must be gathered across hosts and written by
+    process 0 (ADVICE r2 medium + TargetCTU threading)."""
+    w, h = 256, 192
+    args = ["-f", "1", "-s", f"{w}x{h}", "--Synthetic",
+            "--FilterType", "filterFrame_2d_int_quarterCtu",
+            "--KernelIdx", "2", "--TargetCTU", "1",
+            "-l", str(tmp_path / "e_")]
+    _spawn_workers(2, 1, args)
+
+    from vvc_mip_gpu_tpu.io import frames as fio
+    from vvc_mip_gpu_tpu.models.cost_engine import MipCostEngine
+    from vvc_mip_gpu_tpu.ops.filters import filter_frames
+
+    frames = fio.synthetic_frames(1, w, h)
+    ref = np.asarray(filter_frames(
+        frames, "filterFrame_2d_int_quarterCtu", 2))
+    exp = MipCostEngine(w, h, max_performance=True)(
+        frames[0].astype(np.int32), ref[0].astype(np.int32))
+    valid = np.asarray(exp.valid).ravel()
+    e = np.asarray(exp.min_sad_had, np.int64).ravel()
+
+    got = pd.read_csv(tmp_path / "e_mip_decisions.csv")
+    a = got.minSadHad.to_numpy()
+    assert a.shape == e.shape
+    assert not ((a != e) & valid).any()
+
+    tgt = pd.read_csv(tmp_path / "e_target_ctu1.csv")
+    e_ctu = np.asarray(exp.min_sad_had, np.int64)[1]
+    v_ctu = np.asarray(exp.valid)[1]
+    assert (tgt.POC == 0).all()
+    assert not ((tgt.minSadHad.to_numpy() != e_ctu) & v_ctu).any()

@@ -109,7 +109,8 @@ def run(cfg: EngineConfig, synthetic: bool = False,
 
     _enable_compilation_cache()
     if cfg.num_processes > 1:
-        return _run_distributed(cfg, synthetic=synthetic, resume=resume)
+        return _run_distributed(cfg, synthetic=synthetic, resume=resume,
+                                target_ctu=target_ctu)
     timer = StageTimer(trace_power=cfg.trace_power)
     if cfg.trace_power:
         print_timestamp("STARTED HOST")
@@ -156,8 +157,6 @@ def run(cfg: EngineConfig, synthetic: bool = False,
     if cfg.mesh_data * cfg.mesh_space > 1:
         import os
 
-        import jax
-
         from vvc_mip_gpu_tpu.parallel import ShardedMipCostEngine, make_mesh
 
         # Per-frame resume: compute only the frames whose decisions CSV is
@@ -171,35 +170,55 @@ def run(cfg: EngineConfig, synthetic: bool = False,
         if not pending:
             print(f"all {cfg.n_frames} decision logs exist; nothing to do")
             return 0
-        batch = list(pending)
-        while len(batch) % cfg.mesh_data:
-            batch.append(pending[-1])
         mesh = make_mesh(cfg.mesh_data, cfg.mesh_space)
         engine = ShardedMipCostEngine(cfg.width, cfg.height, mesh,
                                       max_performance=cfg.max_performance)
-        with timer.stage("ENQUEUE KERNELS"):
-            costs = engine(frames[batch].astype(np.int32),
-                           None if ref_frames is None
-                           else ref_frames[batch].astype(np.int32))
-            jax.block_until_ready(costs.min_sad_had)
-        with timer.stage("READ DISTORTION"):
-            # Slice to the TRUE CTU count: spatial padding can add whole
-            # phantom CTU rows when space > ceil(H/128)/rows.
-            from vvc_mip_gpu_tpu.constants import num_ctus
+        # Chunked, double-buffered dispatch like the single-device path:
+        # --BatchFrames bounds the HBM cost-tensor footprint (a 16-frame
+        # 4K --FullDistortion run would otherwise materialize multi-GB
+        # tensors in ONE dispatch).  Chunk size is batch_frames rounded
+        # up to a multiple of the data axis.
+        from vvc_mip_gpu_tpu.constants import num_ctus
 
-            true_n = num_ctus(cfg.width, cfg.height)[2]
-            msh = np.asarray(costs.min_sad_had)[:, :true_n]
-            sad = satd = None
-            if not cfg.max_performance:
-                sad = np.asarray(costs.sad)[:, :true_n]
-                satd = np.asarray(costs.satd)[:, :true_n]
-        for b, f in enumerate(pending):
-            _export_frame(cfg, export, msh[b],
-                          None if sad is None else sad[b],
-                          None if satd is None else satd[b], poc=f)
-            _collect_target(f, msh[b],
-                            None if sad is None else sad[b],
-                            None if satd is None else satd[b])
+        true_n = num_ctus(cfg.width, cfg.height)[2]
+        chunk_n = (-(-max(cfg.batch_frames, 1) // cfg.mesh_data)
+                   * cfg.mesh_data)
+        in_flight = []
+
+        def drain_sharded(slot):
+            pocs, costs = slot
+            with timer.stage("READ DISTORTION"):
+                # Slice to the TRUE CTU count: spatial padding can add
+                # whole phantom CTU rows when space > ceil(H/128)/rows.
+                msh = np.asarray(costs.min_sad_had)[:, :true_n]
+                sad = satd = None
+                if not cfg.max_performance:
+                    sad = np.asarray(costs.sad)[:, :true_n]
+                    satd = np.asarray(costs.satd)[:, :true_n]
+            for b, f in enumerate(pocs):
+                _export_frame(cfg, export, msh[b],
+                              None if sad is None else sad[b],
+                              None if satd is None else satd[b], poc=f)
+                _collect_target(f, msh[b],
+                                None if sad is None else sad[b],
+                                None if satd is None else satd[b])
+
+        for c0 in range(0, len(pending), chunk_n):
+            pocs = pending[c0:c0 + chunk_n]
+            # Pad to the ONE compiled batch shape when there are multiple
+            # chunks, else just up to a multiple of the data axis.
+            target = (chunk_n if len(pending) > chunk_n
+                      else -(-len(pocs) // cfg.mesh_data) * cfg.mesh_data)
+            feed = list(pocs) + [pocs[-1]] * (target - len(pocs))
+            with timer.stage("ENQUEUE KERNELS"):
+                costs = engine(frames[feed].astype(np.int32),
+                               None if ref_frames is None
+                               else ref_frames[feed].astype(np.int32))
+            in_flight.append((pocs, costs))
+            if len(in_flight) >= 2:
+                drain_sharded(in_flight.pop(0))
+        while in_flight:
+            drain_sharded(in_flight.pop(0))
     else:
         from vvc_mip_gpu_tpu.models.cost_engine import MipCostEngine
 
@@ -246,11 +265,20 @@ def run(cfg: EngineConfig, synthetic: bool = False,
                 print(f"skipping frame {f} (exists: {_out_path(cfg, f)})")
         for c0 in range(0, len(pending), chunk_n):
             pocs = pending[c0:c0 + chunk_n]
+            # Pad a ragged tail chunk up to chunk_n by repeating the last
+            # poc (dropped on drain) so every dispatch reuses the ONE
+            # compiled batch shape — a second full XLA compile of the
+            # vmapped engine costs ~20-40 s at 1080p.  A run that fits in
+            # a single smaller chunk keeps its exact size (only one
+            # compile either way; no wasted compute).
+            feed = list(pocs)
+            if len(pending) > chunk_n:
+                feed += [pocs[-1]] * (chunk_n - len(pocs))
             with timer.stage("ENQUEUE KERNELS"):
                 costs = engine.compute_batch(
-                    frames[pocs].astype(np.int32),
+                    frames[feed].astype(np.int32),
                     None if ref_frames is None
-                    else ref_frames[np.asarray(pocs)].astype(np.int32))
+                    else ref_frames[np.asarray(feed)].astype(np.int32))
             in_flight.append((pocs, costs))
             if len(in_flight) >= 2:
                 drain(in_flight.pop(0))
@@ -280,7 +308,7 @@ def _enable_compilation_cache() -> None:
 
 
 def _run_distributed(cfg: EngineConfig, synthetic: bool,
-                     resume: bool) -> int:
+                     resume: bool, target_ctu: int | None = None) -> int:
     """Multi-host path: init jax.distributed, build the DCN-aware global
     mesh, host-sharded ingest (each process reads only its own frame
     range), one global GSPMD dispatch, per-host decisions export.
@@ -315,9 +343,15 @@ def _run_distributed(cfg: EngineConfig, synthetic: bool,
         with timer.stage("ENQUEUE FILTER"):
             # Batched device filter; make_array_from_process_local_data
             # wants host arrays, so the multi-host path reads it back.
+            # An empty-slice host (n_frames < n_processes) MUST still pass
+            # a (0, H, W) array, not None: refs=None selects _fn_shared
+            # while peers run _fn — divergent GSPMD programs inside one
+            # collective dispatch hang or corrupt the run.  compute()'s
+            # _global zero-fills 0-row inputs.
             refs = (np.asarray(filter_frames(local, cfg.filter_type,
                                              cfg.kernel_idx))
-                    if len(local) else None)
+                    if len(local)
+                    else np.zeros((0, cfg.height, cfg.width), np.int32))
     with timer.stage("ENQUEUE KERNELS"):
         costs = runner.compute(local.astype(np.int32), cfg.n_frames,
                                None if refs is None
@@ -327,7 +361,19 @@ def _run_distributed(cfg: EngineConfig, synthetic: bool,
     from vvc_mip_gpu_tpu.constants import num_ctus
 
     true_n_ctus = num_ctus(cfg.width, cfg.height)[2]
+    tgt: list[tuple[int, np.ndarray, np.ndarray | None,
+                    np.ndarray | None]] = []
     for poc, msh, sad, satd in results:
+        if target_ctu is not None:
+            from vvc_mip_gpu_tpu.models.inspect import report_target_ctu
+
+            report_target_ctu(msh[:true_n_ctus], cfg.width, target_ctu,
+                              sad=None if sad is None else sad[:true_n_ctus],
+                              satd=(None if satd is None
+                                    else satd[:true_n_ctus]))
+            tgt.append((poc, msh[target_ctu],
+                        None if sad is None else sad[target_ctu],
+                        None if satd is None else satd[target_ctu]))
         if resume and os.path.exists(_out_path(cfg, poc)):
             print(f"skipping frame {poc} (exists)")
             continue
@@ -335,9 +381,62 @@ def _run_distributed(cfg: EngineConfig, synthetic: bool,
                       None if sad is None else sad[:true_n_ctus],
                       None if satd is None else satd[:true_n_ctus],
                       poc=poc)
+    if target_ctu is not None:
+        _gather_target_ctu(cfg, runner, costs, tgt, target_ctu)
     print(f"[process {cfg.process_id}] exported {len(results)} frames")
     print(timer.report_compact(max(len(results), 1)))
     return 0
+
+
+def _gather_target_ctu(cfg, runner, costs, tgt, target_ctu: int) -> None:
+    """Multi-host --TargetCTU: every host owns only its own frames' cost
+    rows, so the POC-columned target CSV (reference
+    reportTargetDistortionValues_File, main_aux_functions.h:843-906) needs
+    a cross-host gather.  The target rows are tiny (~32k values/frame);
+    allgather them padded to equal per-host shapes, then process 0 writes
+    the CSV.  ALL hosts must reach this collective (consistent control
+    flow), hence it runs unconditionally when --TargetCTU is set.
+    """
+    import numpy as np
+
+    from jax.experimental import multihost_utils as mhu
+
+    d = int(costs.min_sad_had.shape[-1])
+    n_frames = cfg.n_frames
+    per = (-(-n_frames // runner.n_data) * runner.n_data) // runner.n_proc
+    full = not cfg.max_performance
+
+    pocs_arr = np.full(per, -1, np.int32)
+    msh_arr = np.zeros((per, d), np.int64)
+    sad_arr = np.zeros((per, d), np.int64) if full else None
+    satd_arr = np.zeros((per, d), np.int64) if full else None
+    for i, (poc, msh, sad, satd) in enumerate(tgt):
+        pocs_arr[i] = poc
+        msh_arr[i] = msh
+        if full:
+            sad_arr[i] = sad
+            satd_arr[i] = satd
+
+    g_pocs = np.asarray(mhu.process_allgather(pocs_arr)).reshape(-1)
+    g_msh = np.asarray(mhu.process_allgather(msh_arr)).reshape(-1, d)
+    g_sad = (np.asarray(mhu.process_allgather(sad_arr)).reshape(-1, d)
+             if full else None)
+    g_satd = (np.asarray(mhu.process_allgather(satd_arr)).reshape(-1, d)
+              if full else None)
+    if cfg.process_id != 0:
+        return
+    from vvc_mip_gpu_tpu.io.export import export_target_ctu_csv
+
+    order = [int(i) for i in np.argsort(g_pocs, kind="stable")
+             if g_pocs[i] >= 0]
+    tpath = f"{cfg.output_prefix}target_ctu{target_ctu}.csv"
+    export_target_ctu_csv(
+        tpath, [g_msh[i] for i in order], cfg.width, target_ctu,
+        sad_per_frame=[None if g_sad is None else g_sad[i] for i in order],
+        satd_per_frame=[None if g_satd is None else g_satd[i]
+                        for i in order],
+        pocs=[int(g_pocs[i]) for i in order])
+    print(f"wrote {tpath}")
 
 
 def _out_path(cfg, poc) -> str:

@@ -21,6 +21,11 @@ def read_frames_csv(path: str | Path, width: int, height: int,
     """Read [n_frames, height, width] uint16 samples, skipping the first
     ``start`` frames (host-sharded ingest: each host of a distributed run
     reads only its own frame range)."""
+    if n_frames == 0:
+        # Empty-slice distributed host (n_frames < n_processes): nothing
+        # to read; pd.read_csv(nrows=0) would yield (0, 0) and trip the
+        # shape check below.
+        return np.empty((0, height, width), np.uint16)
     try:
         if start:
             raise ImportError  # native reader has no skip; use pandas

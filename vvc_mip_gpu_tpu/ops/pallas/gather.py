@@ -49,6 +49,15 @@ def _rows_per_step(n_r: int, p: int, sy: int, h: int, c: int) -> int:
     for k in (64, 32, 16, 8):
         if n_r % k == 0 and p * k * sy * c * 2 * 2 <= budget:
             return k
+    # Single-buffer fallback (k = n_r) must ALSO fit: its scratch
+    # (p * n_r * sy * c) is generally larger than the rejected
+    # double-buffered options, and over-budget VMEM surfaces as a Mosaic
+    # compile failure instead of the ValueError that lets the caller fall
+    # back to the XLA gather.
+    if p * n_r * sy * c * 2 > budget:
+        raise ValueError(
+            f"fetch_rows scratch over VMEM budget: p={p} n_r={n_r} "
+            f"sy={sy} c={c}")
     return n_r
 
 
