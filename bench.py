@@ -91,6 +91,13 @@ def main() -> None:
                    help="Alternative-samples regime: low-pass filter each "
                         "frame on device, then search against it "
                         "(reference --FilterType timing, main.cpp:684-791)")
+    p.add_argument("--with-export", action="store_true",
+                   help="Time compute PLUS the per-frame decisions-CSV "
+                        "export (native writer, ~13.2M rows/frame at "
+                        "1080p) with export overlapping the next "
+                        "dispatch — the reference runs its export inside "
+                        "the processing loop (main_aux_functions.h:"
+                        "735-798)")
     p.add_argument("--window", choices=["compute", "reference"],
                    default="compute",
                    help="'compute': steady-state dispatch window (the "
@@ -142,6 +149,11 @@ def main() -> None:
         # tensor leaves the device, as in the reference's readDistortion
         return jax.vmap(one_frame)(fr)
 
+    if args.with_export:
+        metric = f"mip_search_{tag}_with_export_frames_per_second"
+        _bench_with_export(one_frame, frames_np, metric)
+        return
+
     if args.window == "reference":
         # write -> compute -> read, all inside the timed window
         # (main_aux_functions.h:908-914: WRITE_START .. READ_END).
@@ -180,6 +192,55 @@ def main() -> None:
     checksum = int(jnp.stack(outs).sum())
     assert checksum != 0
     dt = (time.perf_counter() - t0) / (ITERS * BATCH)
+    fps = 1.0 / dt
+    print(json.dumps({
+        "metric": metric,
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / ASSUMED_BASELINE_FPS, 3),
+    }))
+
+
+def _bench_with_export(one_frame, frames_np, metric: str) -> None:
+    """Steady-state fps with the decisions-CSV export IN the loop: each
+    chunk's export (host-side native writer) overlaps the next chunk's
+    device dispatch, mirroring the CLI's double-buffered drain.  Fewer
+    iterations than the compute window — each 1080p frame writes a
+    ~600 MB CSV."""
+    import os
+    import shutil
+    import tempfile
+
+    from vvc_mip_gpu_tpu.io import export as dexport
+
+    iters = 3
+    frames = jax.device_put(jnp.asarray(frames_np))
+    run_batch_msh = jax.jit(lambda fr: jax.vmap(one_frame)(fr))
+    np.asarray(run_batch_msh(frames))  # compile + warm
+    outdir = tempfile.mkdtemp(prefix="benchx_")
+    try:
+        t0 = time.perf_counter()
+        in_flight: list = []
+
+        def drain(slot):
+            i, dev = slot
+            msh = np.asarray(dev)
+            for b in range(msh.shape[0]):
+                dexport.export_decisions_csv(
+                    os.path.join(outdir, f"dec_{i}_{b}.csv"), msh[b], W)
+
+        for i in range(iters):
+            dev = run_batch_msh(frames ^ (i + 1))
+            in_flight.append((i, dev))
+            if len(in_flight) >= 2:
+                drain(in_flight.pop(0))
+        while in_flight:
+            drain(in_flight.pop(0))
+        dt = (time.perf_counter() - t0) / (iters * BATCH)
+        n_csv = len(os.listdir(outdir))
+        assert n_csv == iters * BATCH, f"{n_csv} CSVs != {iters * BATCH}"
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)
     fps = 1.0 / dt
     print(json.dumps({
         "metric": metric,

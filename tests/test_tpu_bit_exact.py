@@ -66,3 +66,110 @@ def test_engine_max_performance_bit_exact_on_tpu(tpu_backend):
     mism = (e != a) & valid
     assert not mism.any(), (
         f"min_sad_had: {int(mism.sum())} TPU mismatches vs golden")
+
+
+# -- Broadened hardware coverage (VERDICT r2 weak #6 / next #8) --------
+#
+# The bf16-trap class of bug is content- and layout-dependent: 1080p
+# exercises different grid extents and padding than 416x240, the
+# filtered regime routes boundaries through the device filter, and the
+# VVC_FETCH / VVC_CTU_EMIT levers select entirely different gather and
+# emission code paths.  Every shipped default combination must land
+# with hardware numerics evidence.
+
+_GOLDEN_CACHE: dict = {}
+
+
+def _golden_msh(w: int, h: int, filtered: bool):
+    """Golden min_sad_had + validity for one (resolution, regime),
+    cached across parameterized cases (the 1080p golden pass is the
+    expensive part of this suite)."""
+    key = (w, h, filtered)
+    if key not in _GOLDEN_CACHE:
+        from vvc_mip_gpu_tpu.golden import filters_golden as fg
+        from vvc_mip_gpu_tpu.golden import reference_model as gm
+        from vvc_mip_gpu_tpu.io import frames as fio
+
+        frame = fio.synthetic_frames(1, w, h)[0].astype(np.int64)
+        ref = (fg.filter_frame(frame, "filterFrame_2d_int_quarterCtu", 2)
+               .astype(np.int64) if filtered else None)
+        exp = gm.frame_costs(frame, ref)
+        e = gm.flatten_strided(exp, "min_sad_had")
+        valid = np.concatenate(
+            [np.repeat(exp[g].valid, exp[g].sad.shape[-1], axis=1)
+             for g in sorted(exp)], axis=1)
+        _GOLDEN_CACHE[key] = (frame, e, valid)
+    return _GOLDEN_CACHE[key]
+
+
+@pytest.mark.parametrize("res,filtered", [
+    ((416, 240), True),
+    ((1920, 1080), False),
+    ((1920, 1080), True),
+])
+def test_bit_exact_default_levers_on_tpu(tpu_backend, res, filtered):
+    """Shipped defaults, production resolutions, both sample regimes.
+    The filtered regime runs the DEVICE filter on TPU too (its integer
+    renormalization path has its own hardware-numerics surface)."""
+    from vvc_mip_gpu_tpu.models.cost_engine import MipCostEngine
+
+    w, h = res
+    frame, e, valid = _golden_msh(w, h, filtered)
+    engine = MipCostEngine(w, h, max_performance=True)
+    ref_dev = None
+    if filtered:
+        from vvc_mip_gpu_tpu.ops.filters import filter_frames
+
+        ref_dev = np.asarray(filter_frames(
+            frame[None].astype(np.int32),
+            "filterFrame_2d_int_quarterCtu", 2))[0]
+    got = engine(frame.astype(np.int32),
+                 None if ref_dev is None else ref_dev.astype(np.int32))
+    a = np.asarray(got.min_sad_had, np.int64)
+    gv = np.asarray(got.valid)
+    mism = (e.reshape(a.shape) != a) & gv
+    assert not mism.any(), (
+        f"{w}x{h} filtered={filtered}: {int(mism.sum())} TPU mismatches")
+
+
+@pytest.mark.parametrize("fetch,emit", [
+    ("none", "0"),   # pure-XLA gathers + lattice-emit/reorder
+    ("none", "1"),   # CTU-direct emission alone
+    ("both", "0"),   # fetch_rows alone
+    ("both", "1"),   # shipped round-2 default
+    ("left", "1"),
+    ("orig", "1"),
+])
+def test_bit_exact_lever_matrix_on_tpu(tpu_backend, tmp_path, fetch, emit):
+    """Every lever combination, 416x240 max-performance, in a SUBPROCESS
+    (the levers are env-snapshotted at import; in-process monkeypatching
+    could silently reuse jit caches traced under the other setting)."""
+    import os
+    import subprocess
+    import sys
+
+    frame, e, valid = _golden_msh(416, 240, False)
+    out = tmp_path / f"msh_{fetch}_{emit}.npy"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = (
+        "import numpy as np\n"
+        "import sys\n"
+        "from vvc_mip_gpu_tpu.io import frames as fio\n"
+        "from vvc_mip_gpu_tpu.models.cost_engine import MipCostEngine\n"
+        "frame = fio.synthetic_frames(1, 416, 240)[0].astype(np.int32)\n"
+        "eng = MipCostEngine(416, 240, max_performance=True)\n"
+        "got = eng(frame)\n"
+        "np.save(sys.argv[1], np.asarray(got.min_sad_had, np.int64))\n"
+    )
+    env = dict(os.environ, VVC_FETCH=fetch, VVC_CTU_EMIT=emit,
+               PYTHONPATH=repo + os.pathsep + os.environ.get(
+                   "PYTHONPATH", ""))
+    env.pop("VVC_MIP_PLATFORM", None)  # run on the real backend
+    r = subprocess.run([sys.executable, "-c", script, str(out)],
+                       env=env, cwd=repo, timeout=1800,
+                       capture_output=True, text=True)
+    assert r.returncode == 0, f"engine subprocess failed:\n{r.stdout}\n{r.stderr[-3000:]}"
+    a = np.load(out)
+    mism = (e.reshape(a.shape) != a) & valid.reshape(a.shape)
+    assert not mism.any(), (
+        f"fetch={fetch} emit={emit}: {int(mism.sum())} TPU mismatches")

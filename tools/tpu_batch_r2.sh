@@ -16,7 +16,7 @@ timeout -k 10 120 python -c "import jax; print(jax.devices())" \
     >> "$LOG" 2>&1 || { log "RELAY DOWN"; exit 1; }
 
 log "tpu bit-exact tests $(date -u +%H:%M:%S)"
-VVC_TPU_TESTS=1 timeout 2400 python -m pytest tests/test_tpu_bit_exact.py \
+VVC_TPU_TESTS=1 timeout 7200 python -m pytest tests/test_tpu_bit_exact.py \
     -m tpu -q >> "$LOG" 2>&1
 
 # 2-D A/B: fetch_rows roles x CTU-direct emission.

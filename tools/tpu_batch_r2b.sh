@@ -18,7 +18,7 @@ timeout -k 10 120 python -c "import jax; print(jax.devices())" \
     >> "$LOG" 2>&1 || { log "RELAY DOWN"; exit 1; }
 
 log "tpu bit-exact tests at winner levers $(date -u +%H:%M:%S)"
-VVC_TPU_TESTS=1 timeout 2400 python -m pytest \
+VVC_TPU_TESTS=1 timeout 7200 python -m pytest \
     tests/test_tpu_bit_exact.py -m tpu -q 2>&1 | tail -2 >> "$LOG"
 
 log "bench winner $(date -u +%H:%M:%S)"
