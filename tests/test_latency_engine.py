@@ -1,0 +1,65 @@
+"""Class-sharded latency engine: bit-identity vs the single-device
+engine on the 8-virtual-device CPU mesh (VERDICT r2 next #6: latency
+mode — one frame over N devices — needs efficiency evidence; geometry
+chosen with bottom-partial CTUs so validity masking is exercised)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from vvc_mip_gpu_tpu.io import frames as fio
+from vvc_mip_gpu_tpu.models.cost_engine import MipCostEngine
+from vvc_mip_gpu_tpu.parallel.latency_engine import (
+    LatencyMipCostEngine,
+    class_weights,
+    partition_classes,
+)
+
+
+def test_partition_covers_all_classes():
+    w = class_weights(1920, 1080)
+    for n in (1, 2, 4, 8, 32):
+        parts = partition_classes(n, w)
+        got = sorted(i for p in parts for i in p)
+        assert got == list(range(len(w)))
+    # LPT balance at 8 parts: worst load within 1.45x of the mean
+    # (bounded by the largest single class's weight share).
+    parts = partition_classes(8, w)
+    loads = [sum(w[i] for i in p) for p in parts if p]
+    assert max(loads) <= 1.45 * sum(w) / 8
+
+
+@pytest.mark.parametrize("n_dev,max_perf", [(8, True), (3, False)])
+def test_latency_engine_bit_identity(n_dev, max_perf):
+    w, h = 256, 192  # bottom CTU row partial
+    frame = fio.synthetic_frames(1, w, h)[0].astype(np.int32)
+    exp = MipCostEngine(w, h, max_performance=max_perf)(frame)
+    eng = LatencyMipCostEngine(w, h, jax.devices()[:n_dev],
+                               max_performance=max_perf)
+    got = eng(frame)
+    valid = np.asarray(exp.valid)
+    for field in (("min_sad_had",) if max_perf
+                  else ("sad", "satd", "min_sad_had")):
+        e = np.asarray(getattr(exp, field), np.int64)
+        a = np.asarray(getattr(got, field), np.int64)
+        assert a.shape == e.shape
+        mism = (a != e) & valid
+        assert not mism.any(), f"{field}: {int(mism.sum())} mismatches"
+
+
+def test_latency_engine_filtered_regime():
+    from vvc_mip_gpu_tpu.ops.filters import filter_frames
+
+    w, h = 256, 192
+    frame = fio.synthetic_frames(1, w, h)[0].astype(np.int32)
+    ref = np.asarray(filter_frames(
+        frame[None], "filterFrame_2d_int_quarterCtu", 2))[0].astype(
+            np.int32)
+    exp = MipCostEngine(w, h, max_performance=True)(frame, ref)
+    got = LatencyMipCostEngine(w, h, jax.devices()[:4])(frame, ref)
+    valid = np.asarray(exp.valid)
+    e = np.asarray(exp.min_sad_had, np.int64)
+    a = np.asarray(got.min_sad_had, np.int64)
+    mism = (a != e) & valid
+    assert not mism.any(), f"{int(mism.sum())} mismatches"

@@ -136,6 +136,54 @@ def _multiprocess_report(args) -> None:
     }, indent=1))
 
 
+def _latency_report(args) -> None:
+    """Single-frame time-to-result: 1 device vs N devices, class-sharded
+    (latency_engine) and space-banded (sharded engine, data=1 space=N).
+    On the virtual CPU mesh N devices timeshare one core, so the ideal
+    N-device time EQUALS the 1-device time; `overhead` (t_N / t_1) is
+    the partitioning + imbalance + assembly cost the design adds, and
+    the hardware speedup ceiling is N / overhead."""
+    import jax
+
+    from vvc_mip_gpu_tpu.models.cost_engine import MipCostEngine
+    from vvc_mip_gpu_tpu.parallel import ShardedMipCostEngine, make_mesh
+    from vvc_mip_gpu_tpu.parallel.latency_engine import LatencyMipCostEngine
+
+    w, h = (int(v) for v in args.resolution.lower().split("x"))
+    n_dev = jax.device_count()
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 1024, size=(h, w), dtype=np.int32)
+
+    def timed_ms(run):
+        run(0)  # compile
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            run(i + 1)
+        return (time.perf_counter() - t0) / args.iters * 1e3
+
+    eng1 = MipCostEngine(w, h, max_performance=True)
+    t1 = timed_ms(lambda i: np.asarray(
+        eng1(frame ^ (i + 1)).min_sad_had))
+    rows = [{"engine": "single-device", "devices": 1,
+             "ms": round(t1, 2), "overhead": 1.0}]
+
+    for n in (2, 4, 8):
+        if n > n_dev:
+            break
+        lat = LatencyMipCostEngine(w, h, jax.devices()[:n])
+        t = timed_ms(lambda i, e=lat: e(frame ^ (i + 1)).min_sad_had)
+        rows.append({"engine": "class-sharded", "devices": n,
+                     "ms": round(t, 2), "overhead": round(t / t1, 3)})
+        sp = ShardedMipCostEngine(w, h, make_mesh(1, n),
+                                  max_performance=True)
+        t = timed_ms(lambda i, e=sp: np.asarray(
+            e((frame ^ (i + 1))[None]).min_sad_had))
+        rows.append({"engine": "space-banded", "devices": n,
+                     "ms": round(t, 2), "overhead": round(t / t1, 3)})
+    print(json.dumps({"resolution": args.resolution, "mode": "latency",
+                      "devices": n_dev, "rows": rows}, indent=1))
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-s", "--resolution", default="1920x1080")
@@ -150,6 +198,9 @@ def main() -> None:
                    help="multi-host mode: devices per process (virtual)")
     p.add_argument("--space", type=int, default=1,
                    help="multi-host mode: spatial mesh axis per host")
+    p.add_argument("--latency", action="store_true",
+                   help="latency mode: ONE frame over N devices — "
+                        "class-sharded vs space-banded time-to-result")
     p.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--coordinator", default=None, help=argparse.SUPPRESS)
     p.add_argument("--process-id", type=int, default=0,
@@ -173,6 +224,10 @@ def main() -> None:
 
     if args.virtual:
         jax.config.update("jax_platforms", "cpu")
+
+    if args.latency:
+        _latency_report(args)
+        return
 
     from vvc_mip_gpu_tpu.models.cost_engine import MipCostEngine
     from vvc_mip_gpu_tpu.parallel import ShardedMipCostEngine, make_mesh

@@ -360,6 +360,26 @@ def compute_ext(frame, ref, halo_row, is_top, width: int, height: int,
     MAX_PERFORMANCE_DIST, main_aux_functions.h:1) sad/satd are None and
     only minSadHad is assembled.
     """
+    sad_blocks, satd_blocks, msh_blocks = compute_blocks(
+        frame, ref, halo_row, is_top, width, height,
+        max_performance=max_performance)
+    if max_performance:
+        return None, None, _flatten_strided(msh_blocks)
+    sad_flat = _flatten_strided(sad_blocks)
+    satd_flat = _flatten_strided(satd_blocks)
+    return sad_flat, satd_flat, jnp.minimum(2 * sad_flat, satd_flat)
+
+
+def compute_blocks(frame, ref, halo_row, is_top, width: int, height: int,
+                   max_performance: bool = False,
+                   classes: tuple[int, ...] | None = None):
+    """Per-group cost blocks ({group_index: [nCTU, n*2M]} dicts), for all
+    shape classes or (``classes``, by class_plans index) a subset — the
+    class-sharded latency engine's unit of device work: the phase splits
+    built here cover only the strides the selected classes' gathers use.
+    Returns (sad_blocks, satd_blocks, msh_blocks); with
+    ``max_performance`` only msh_blocks is populated.
+    """
     # Gathers and SoA transposes are pure data movement: run them in int16
     # (10-bit samples) to halve the traffic.  Arithmetic stages cast up.
     share_ref = ref is frame
@@ -370,7 +390,12 @@ def compute_ext(frame, ref, halo_row, is_top, width: int, height: int,
     # slices (geometry.padded_extent); padded samples reach only CUs the
     # validity mask flags out-of-frame.
     hp, wp = padded_extent(width, height)
-    strides = gather_strides(width, height)
+    plans = class_plans(width, height)
+    if classes is not None:
+        plans = tuple(plans[i] for i in classes)
+    strides = tuple(sorted({
+        s for cplan in plans for gp in cplan.groups
+        if (s := _group_stride(gp)) is not None}))
     # The phase splits cover exactly ctu_cols*128 columns: every uniform
     # lattice has n_cols == ctu_cols*128/stride there, so phase-space
     # gathers need no column trimming and the lattice CU axis equals the
@@ -407,7 +432,7 @@ def compute_ext(frame, ref, halo_row, is_top, width: int, height: int,
     sad_blocks: dict[int, jax.Array] = {}
     satd_blocks: dict[int, jax.Array] = {}
     msh_blocks: dict[int, jax.Array] = {}
-    for cplan in class_plans(width, height):
+    for cplan in plans:
         blocks = _class_costs(frame_pad, ref_pad, is_top, cplan,
                               max_performance=max_performance,
                               f_frame=f_frame, f_slab=f_slab,
@@ -417,11 +442,7 @@ def compute_ext(frame, ref, halo_row, is_top, width: int, height: int,
                 msh_blocks[gidx] = blk
             else:
                 sad_blocks[gidx], satd_blocks[gidx] = blk
-    if max_performance:
-        return None, None, _flatten_strided(msh_blocks)
-    sad_flat = _flatten_strided(sad_blocks)
-    satd_flat = _flatten_strided(satd_blocks)
-    return sad_flat, satd_flat, jnp.minimum(2 * sad_flat, satd_flat)
+    return sad_blocks, satd_blocks, msh_blocks
 
 
 def _compute(frame, ref, width: int, height: int,
