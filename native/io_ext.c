@@ -80,35 +80,62 @@ read_samples_csv(PyObject *self, PyObject *args)
 }
 
 /* ------------------------------------------------------------------ */
-/* Fast unsigned/signed 64-bit to decimal                              */
+/* Fast unsigned/signed 64-bit to decimal (two-digit LUT)              */
 /* ------------------------------------------------------------------ */
+static const char DIGITS2[201] =
+    "0001020304050607080910111213141516171819"
+    "2021222324252627282930313233343536373839"
+    "4041424344454647484950515253545556575859"
+    "6061626364656667686970717273747576777879"
+    "8081828384858687888990919293949596979899";
+
 static inline char *
 write_i64(char *p, int64_t v)
 {
     char tmp[24];
     int neg = v < 0;
     uint64_t u = neg ? (uint64_t)(-v) : (uint64_t)v;
-    int i = 0;
-    do {
-        tmp[i++] = (char)('0' + (u % 10));
-        u /= 10;
-    } while (u);
+    char *t = tmp + 24;
+    while (u >= 100) {
+        unsigned r = (unsigned)(u % 100);
+        u /= 100;
+        t -= 2;
+        memcpy(t, DIGITS2 + r * 2, 2);
+    }
+    if (u >= 10) {
+        t -= 2;
+        memcpy(t, DIGITS2 + (unsigned)u * 2, 2);
+    } else {
+        *--t = (char)('0' + (unsigned)u);
+    }
     if (neg)
         *p++ = '-';
-    while (i)
-        *p++ = tmp[--i];
-    return p;
+    memcpy(p, t, (size_t)(tmp + 24 - t));
+    return p + (tmp + 24 - t);
 }
 
 /* ------------------------------------------------------------------ *
  * write_decisions_csv(path, header, prefixes, x_in, y_in,             *
- *                     sad, satd, msh, n_ctu, ctu_cols, ctu_size)      *
+ *                     sad, satd, msh, n_ctu, ctu_cols, ctu_size,      *
+ *                     [zero_costs=0], [poc=-1])                       *
  *                                                                     *
  * prefixes: bytes, n_slab newline-separated strings covering the      *
  *   "cuSizeName,W,H,CU" and ",Mode" invariant parts split by a '\t':  *
  *   "<name>,<W>,<H>,<cu>\t<mode>".  x_in/y_in: int32 buffers [n_slab] *
  *   (CU position inside the CTU).  sad/satd/msh: int64 buffers        *
- *   [n_ctu*n_slab].  Row: CTU,prefix0,X,Y,mode,SAD,SATD,minSadHad.    *
+ *   [n_ctu*n_slab].  Row: [POC,]CTU,prefix0,X,Y,mode,SAD,SATD,msh.    *
+ *                                                                     *
+ * zero_costs != 0: SAD/SATD are emitted as literal "0,0" without      *
+ *   reading the sad/satd buffers (the reference's                     *
+ *   MAX_PERFORMANCE_DIST never-read-back columns).  poc >= 0 adds     *
+ *   the leading POC column (multi-frame decisions logs).              *
+ *                                                                     *
+ * Hot-loop design (13.2M rows/frame at 1080p): everything that is     *
+ * constant per column or per CTU row of the CTU grid is formatted     *
+ * ONCE per frame — "<X>," strings per (grid column, slab row) and     *
+ * "<Y>," strings per (grid row, slab row) live in string pools, the   *
+ * "[POC,]<CTU>," run is formatted per CTU — so the per-row work is    *
+ * five memcpys plus one (max-performance) or three itoas.             *
  * ------------------------------------------------------------------ */
 static PyObject *
 write_decisions_csv(PyObject *self, PyObject *args)
@@ -117,25 +144,40 @@ write_decisions_csv(PyObject *self, PyObject *args)
     const char *header;
     Py_buffer prefixes, x_in, y_in, sad, satd, msh;
     Py_ssize_t n_ctu, ctu_cols, ctu_size;
-    if (!PyArg_ParseTuple(args, "ssy*y*y*y*y*y*nnn", &path, &header,
+    int zero_costs = 0;
+    Py_ssize_t poc = -1;
+    if (!PyArg_ParseTuple(args, "ssy*y*y*y*y*y*nnn|in", &path, &header,
                           &prefixes, &x_in, &y_in, &sad, &satd, &msh,
-                          &n_ctu, &ctu_cols, &ctu_size))
+                          &n_ctu, &ctu_cols, &ctu_size, &zero_costs, &poc))
         return NULL;
 
     Py_ssize_t n_slab = x_in.len / (Py_ssize_t)sizeof(int32_t);
+    Py_ssize_t grid_rows = ctu_cols > 0 ? (n_ctu + ctu_cols - 1) / ctu_cols
+                                        : 0;
     const int32_t *xs = (const int32_t *)x_in.buf;
     const int32_t *ys = (const int32_t *)y_in.buf;
     const int64_t *psad = (const int64_t *)sad.buf;
     const int64_t *psatd = (const int64_t *)satd.buf;
     const int64_t *pmsh = (const int64_t *)msh.buf;
 
-    /* Split the prefix table once. */
-    const char **pref = malloc(sizeof(char *) * (size_t)n_slab);
-    int *pref_len = malloc(sizeof(int) * (size_t)n_slab);
+    /* Per-slab-row prefix head/tail (split once, no per-row memchr). */
+    const char **hptr = malloc(sizeof(char *) * (size_t)n_slab);
+    const char **tptr = malloc(sizeof(char *) * (size_t)n_slab);
+    int *hlen = malloc(sizeof(int) * (size_t)n_slab);
+    int *tlen = malloc(sizeof(int) * (size_t)n_slab);
+    /* "<X>," / "<Y>," string pools: one entry per (grid col|row, slab
+     * row), max 12 bytes each. */
+    char *xpool = malloc((size_t)(ctu_cols * n_slab) * 12);
+    char *ypool = malloc((size_t)(grid_rows > 0 ? grid_rows : 1)
+                         * (size_t)n_slab * 12);
+    uint8_t *xlen = malloc((size_t)(ctu_cols * n_slab));
+    uint8_t *ylen = malloc((size_t)(grid_rows > 0 ? grid_rows : 1)
+                           * (size_t)n_slab);
     PyObject *res = NULL;
     FILE *f = NULL;
     char *rowbuf = NULL;
-    if (!pref || !pref_len) {
+    if (!hptr || !tptr || !hlen || !tlen || !xpool || !ypool || !xlen
+        || !ylen) {
         PyErr_NoMemory();
         goto done;
     }
@@ -144,12 +186,15 @@ write_decisions_csv(PyObject *self, PyObject *args)
         const char *end = p + prefixes.len;
         for (Py_ssize_t i = 0; i < n_slab; i++) {
             const char *nl = memchr(p, '\n', (size_t)(end - p));
-            if (!nl) {
+            const char *tab = nl ? memchr(p, '\t', (size_t)(nl - p)) : NULL;
+            if (!nl || !tab) {
                 PyErr_SetString(PyExc_ValueError, "bad prefix table");
                 goto done;
             }
-            pref[i] = p;
-            pref_len[i] = (int)(nl - p);
+            hptr[i] = p;
+            hlen[i] = (int)(tab - p);
+            tptr[i] = tab + 1;
+            tlen[i] = (int)(nl - tab - 1);
             p = nl + 1;
         }
     }
@@ -170,9 +215,37 @@ write_decisions_csv(PyObject *self, PyObject *args)
 
     char *w = rowbuf;
     Py_BEGIN_ALLOW_THREADS
+    for (Py_ssize_t c = 0; c < ctu_cols; c++) {
+        char *wp = xpool + (size_t)(c * n_slab) * 12;
+        for (Py_ssize_t i = 0; i < n_slab; i++, wp += 12) {
+            char *e = write_i64(wp, (int64_t)(c * ctu_size + xs[i]));
+            *e++ = ',';
+            xlen[c * n_slab + i] = (uint8_t)(e - wp);
+        }
+    }
+    for (Py_ssize_t r = 0; r < grid_rows; r++) {
+        char *wp = ypool + (size_t)(r * n_slab) * 12;
+        for (Py_ssize_t i = 0; i < n_slab; i++, wp += 12) {
+            char *e = write_i64(wp, (int64_t)(r * ctu_size + ys[i]));
+            *e++ = ',';
+            ylen[r * n_slab + i] = (uint8_t)(e - wp);
+        }
+    }
     for (Py_ssize_t ctu = 0; ctu < n_ctu; ctu++) {
-        int32_t ctu_x = (int32_t)((ctu % ctu_cols) * ctu_size);
-        int32_t ctu_y = (int32_t)((ctu / ctu_cols) * ctu_size);
+        Py_ssize_t gc = ctu % ctu_cols, gr = ctu / ctu_cols;
+        const char *xp = xpool + (size_t)(gc * n_slab) * 12;
+        const uint8_t *xl = xlen + gc * n_slab;
+        const char *yp = ypool + (size_t)(gr * n_slab) * 12;
+        const uint8_t *yl = ylen + gr * n_slab;
+        char lead[32];          /* "[POC,]<CTU>," */
+        char *le = lead;
+        if (poc >= 0) {
+            le = write_i64(le, (int64_t)poc);
+            *le++ = ',';
+        }
+        le = write_i64(le, (int64_t)ctu);
+        *le++ = ',';
+        size_t lead_n = (size_t)(le - lead);
         const int64_t *s0 = psad + ctu * n_slab;
         const int64_t *s1 = psatd + ctu * n_slab;
         const int64_t *s2 = pmsh + ctu * n_slab;
@@ -181,26 +254,27 @@ write_decisions_csv(PyObject *self, PyObject *args)
                 fwrite(rowbuf, 1, (size_t)(w - rowbuf), f);
                 w = rowbuf;
             }
-            w = write_i64(w, (int64_t)ctu);
+            memcpy(w, lead, lead_n);
+            w += lead_n;
+            memcpy(w, hptr[i], (size_t)hlen[i]);
+            w += hlen[i];
             *w++ = ',';
-            /* prefix is "<name>,<W>,<H>,<cu>\t<mode>" */
-            const char *tab = memchr(pref[i], '\t', (size_t)pref_len[i]);
-            size_t head = (size_t)(tab - pref[i]);
-            memcpy(w, pref[i], head);
-            w += head;
+            memcpy(w, xp + (size_t)i * 12, xl[i]);
+            w += xl[i];
+            memcpy(w, yp + (size_t)i * 12, yl[i]);
+            w += yl[i];
+            memcpy(w, tptr[i], (size_t)tlen[i]);
+            w += tlen[i];
             *w++ = ',';
-            w = write_i64(w, ctu_x + xs[i]);
-            *w++ = ',';
-            w = write_i64(w, ctu_y + ys[i]);
-            *w++ = ',';
-            size_t tail = (size_t)pref_len[i] - head - 1;
-            memcpy(w, tab + 1, tail);
-            w += tail;
-            *w++ = ',';
-            w = write_i64(w, s0[i]);
-            *w++ = ',';
-            w = write_i64(w, s1[i]);
-            *w++ = ',';
+            if (zero_costs) {
+                memcpy(w, "0,0,", 4);
+                w += 4;
+            } else {
+                w = write_i64(w, s0[i]);
+                *w++ = ',';
+                w = write_i64(w, s1[i]);
+                *w++ = ',';
+            }
             w = write_i64(w, s2[i]);
             *w++ = '\n';
         }
@@ -216,8 +290,14 @@ done:
         free(rowbuf);
     if (f)
         fclose(f);
-    free(pref);
-    free(pref_len);
+    free(hptr);
+    free(tptr);
+    free(hlen);
+    free(tlen);
+    free(xpool);
+    free(ypool);
+    free(xlen);
+    free(ylen);
     PyBuffer_Release(&prefixes);
     PyBuffer_Release(&x_in);
     PyBuffer_Release(&y_in);

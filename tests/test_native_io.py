@@ -17,21 +17,29 @@ def test_native_read_matches_python(tmp_path):
     np.testing.assert_array_equal(got.reshape(2, 64, 96), fr)
 
 
-def test_native_export_matches_pandas(tmp_path, monkeypatch):
+import pytest
+
+
+@pytest.mark.parametrize("full,poc", [
+    (True, None),    # SAD/SATD columns populated
+    (False, None),   # max-performance zero-costs fast path
+    (False, 3),      # POC-columned multi-frame log (native since r3)
+    (True, 0),
+])
+def test_native_export_matches_pandas(tmp_path, monkeypatch, full, poc):
     rng = np.random.default_rng(2)
     msh = rng.integers(0, 100000, size=(2, export.DIST_PER_CTU))
     sad = rng.integers(0, 50000, size=(2, export.DIST_PER_CTU))
     satd = rng.integers(0, 50000, size=(2, export.DIST_PER_CTU))
+    kw = dict(sad=sad, satd=satd) if full else {}
     p_nat = tmp_path / "nat.csv"
     p_pd = tmp_path / "pd.csv"
-    export.export_decisions_csv(p_nat, msh, 256, sad=sad, satd=satd)
+    export.export_decisions_csv(p_nat, msh, 256, poc=poc, **kw)
 
     # Force the pandas path by hiding the native module.
-    import vvc_mip_gpu_tpu.io as io_pkg
-
     monkeypatch.setitem(
         __import__("sys").modules, "vvc_mip_gpu_tpu.io.native", None)
-    export.export_decisions_csv(p_pd, msh, 256, sad=sad, satd=satd)
+    export.export_decisions_csv(p_pd, msh, 256, poc=poc, **kw)
 
     a = pd.read_csv(p_nat)
     b = pd.read_csv(p_pd)

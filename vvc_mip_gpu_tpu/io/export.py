@@ -84,20 +84,24 @@ def export_decisions_csv(path: str | Path, min_sad_had: np.ndarray,
     ctu_cols = -(-frame_width // CTU_SIZE)
     names, w, h, cu, x_in, y_in, mode = _per_ctu_columns()
 
-    if poc is None:
-        try:
-            from vvc_mip_gpu_tpu.io import native
+    try:
+        from vvc_mip_gpu_tpu.io import native
 
-            zeros = np.zeros_like(min_sad_had, np.int64)
-            native.write_decisions_csv(
-                str(path), "CTU,cuSizeName,W,H,CU,X,Y,Mode,SAD,SATD,minSadHad\n",
-                _prefix_table(), x_in, y_in,
-                zeros if sad is None else sad,
-                zeros if satd is None else satd,
-                min_sad_had, n_ctu, ctu_cols, CTU_SIZE)
-            return
-        except ImportError:
-            pass
+        zero_costs = sad is None and satd is None
+        hdr = "CTU,cuSizeName,W,H,CU,X,Y,Mode,SAD,SATD,minSadHad\n"
+        if poc is not None:
+            hdr = "POC," + hdr
+        native.write_decisions_csv(
+            str(path), hdr, _prefix_table(), x_in, y_in,
+            # zero_costs: the writer never reads the SAD/SATD buffers
+            # (emits literal 0,0) — min_sad_had stands in as placeholder.
+            min_sad_had if sad is None else sad,
+            min_sad_had if satd is None else satd,
+            min_sad_had, n_ctu, ctu_cols, CTU_SIZE,
+            zero_costs=zero_costs, poc=-1 if poc is None else int(poc))
+        return
+    except ImportError:
+        pass
 
     ctu = np.repeat(np.arange(n_ctu, dtype=np.int32), DIST_PER_CTU)
     ctu_x = (np.arange(n_ctu, dtype=np.int32) % ctu_cols) * CTU_SIZE

@@ -26,7 +26,11 @@ def write_samples_csv(path: str, samples: np.ndarray, width: int) -> None:
 def write_decisions_csv(path: str, header: str, prefixes: bytes,
                         x_in: np.ndarray, y_in: np.ndarray,
                         sad: np.ndarray, satd: np.ndarray, msh: np.ndarray,
-                        n_ctu: int, ctu_cols: int, ctu_size: int) -> None:
+                        n_ctu: int, ctu_cols: int, ctu_size: int,
+                        zero_costs: bool = False, poc: int = -1) -> None:
+    """``zero_costs``: emit literal 0,0 SAD/SATD columns without reading
+    the buffers (max-performance logs).  ``poc`` >= 0 adds the leading
+    POC column (multi-frame logs)."""
     _native_ext.write_decisions_csv(
         path, header, prefixes,
         np.ascontiguousarray(x_in, np.int32),
@@ -34,4 +38,4 @@ def write_decisions_csv(path: str, header: str, prefixes: bytes,
         np.ascontiguousarray(sad, np.int64),
         np.ascontiguousarray(satd, np.int64),
         np.ascontiguousarray(msh, np.int64),
-        n_ctu, ctu_cols, ctu_size)
+        n_ctu, ctu_cols, ctu_size, int(zero_costs), poc)
