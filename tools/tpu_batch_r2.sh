@@ -1,6 +1,9 @@
 #!/bin/bash
-# One-shot TPU validation + A/B batch for round 2 (run when the axon
-# relay is up; each step logs and failures don't stop later steps).
+# One-shot TPU validation + A/B batch (run when the axon relay is up;
+# each step logs and failures don't stop later steps).  Ordered so the
+# highest-value measurements land FIRST in case the relay window is
+# short: quick bit-exact smoke -> lever A/B -> benches -> profiles ->
+# the full (slow) hardware bit-exact suite.
 # Usage: bash tools/tpu_batch_r2.sh /tmp/tpu_batch.log
 set -u
 LOG=${1:-/tmp/tpu_batch.log}
@@ -15,9 +18,9 @@ log "probe $(date -u +%H:%M:%S)"
 timeout -k 10 120 python -c "import jax; print(jax.devices())" \
     >> "$LOG" 2>&1 || { log "RELAY DOWN"; exit 1; }
 
-log "tpu bit-exact tests $(date -u +%H:%M:%S)"
-VVC_TPU_TESTS=1 timeout 7200 python -m pytest tests/test_tpu_bit_exact.py \
-    -m tpu -q >> "$LOG" 2>&1
+log "tpu bit-exact smoke (416x240 default levers) $(date -u +%H:%M:%S)"
+VVC_TPU_TESTS=1 timeout 2400 python -m pytest tests/test_tpu_bit_exact.py \
+    -m tpu -q -k "engine_bit_exact or max_performance" >> "$LOG" 2>&1
 
 # 2-D A/B: fetch_rows roles x CTU-direct emission.
 for c in 1 0; do
@@ -48,7 +51,7 @@ done
 log "side benches $(date -u +%H:%M:%S)"
 : > BENCH_SIDE.json
 for a in "--window reference" "--filtered" \
-         "--resolution 3840x2160 --batch 4"; do
+         "--resolution 3840x2160 --batch 4" "--with-export"; do
   log "bench $a"
   timeout 1800 python bench.py $a 2>&1 | grep -v WARNING | tail -1 \
       | tee -a BENCH_SIDE.json >> "$LOG"
@@ -57,5 +60,9 @@ done
 log "per-class profile (default levers) $(date -u +%H:%M:%S)"
 timeout 3000 python tools/profile_stages.py --per-class 2>&1 \
     | grep -v WARNING >> "$LOG"
+
+log "tpu bit-exact FULL suite (1080p + filtered + lever matrix) $(date -u +%H:%M:%S)"
+VVC_TPU_TESTS=1 timeout 7200 python -m pytest tests/test_tpu_bit_exact.py \
+    -m tpu -q >> "$LOG" 2>&1
 
 log "done $(date -u +%H:%M:%S)"
