@@ -195,3 +195,26 @@ def test_cli_ragged_tail_chunk(tmp_path):
         e = np.asarray(exp.min_sad_had, np.int64).ravel()
         a = got.minSadHad.to_numpy()
         assert not ((a != e) & valid).any(), f"frame {f} mismatch"
+
+
+def test_cli_latency_mode(tmp_path):
+    """--LatencyMode: class-sharded over the 8 virtual devices, per-frame
+    decisions bit-identical to the single-device engine."""
+    from vvc_mip_gpu_tpu import cli
+    from vvc_mip_gpu_tpu.models.cost_engine import MipCostEngine
+
+    w, h = 128, 128
+    rc = cli.main([
+        "-f", "2", "-s", f"{w}x{h}", "--Synthetic", "--LatencyMode",
+        "-l", str(tmp_path / "lat_"),
+    ])
+    assert rc == 0
+    frames = fio.synthetic_frames(2, w, h)
+    engine = MipCostEngine(w, h, max_performance=True)
+    for f in range(2):
+        got = pd.read_csv(tmp_path / f"lat_mip_decisions_poc{f}.csv")
+        exp = engine(frames[f].astype(np.int32))
+        valid = np.asarray(exp.valid).ravel()
+        e = np.asarray(exp.min_sad_had, np.int64).ravel()
+        a = got.minSadHad.to_numpy()
+        assert not ((a != e) & valid).any(), f"frame {f} mismatch"

@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "a multi-frame POC-columned CSV for it "
                         "(reference reportDistortionOnlyTarget / "
                         "reportTargetDistortionValues_File)")
+    p.add_argument("--LatencyMode", action="store_true",
+                   help="Minimize per-frame latency: each frame is "
+                        "class-sharded across ALL local devices "
+                        "(no banding/padding; see SCALING.md round 3)")
     p.add_argument("--BatchFrames", type=int, default=8,
                    help="Frames kept in flight per dispatch window "
                         "(the analog of the reference's BUFFER_SLOTS "
@@ -95,6 +99,7 @@ def _config_from_args(args) -> EngineConfig:
         mesh_data=args.MeshData,
         mesh_space=args.MeshSpace,
         batch_frames=args.BatchFrames,
+        latency_mode=args.LatencyMode,
         coordinator=args.Coordinator,
         num_processes=args.NumProcesses,
         process_id=args.ProcessId,
@@ -154,7 +159,38 @@ def run(cfg: EngineConfig, synthetic: bool = False,
         tgt_sad[f] = None if sad is None else np.asarray(sad[target_ctu])
         tgt_satd[f] = None if satd is None else np.asarray(satd[target_ctu])
 
-    if cfg.mesh_data * cfg.mesh_space > 1:
+    if cfg.latency_mode:
+        import os
+
+        from vvc_mip_gpu_tpu.parallel.latency_engine import (
+            LatencyMipCostEngine)
+
+        engine = LatencyMipCostEngine(cfg.width, cfg.height,
+                                      max_performance=cfg.max_performance)
+        pending = [f for f in range(cfg.n_frames)
+                   if not (resume and os.path.exists(_out_path(cfg, f)))]
+        for f in range(cfg.n_frames):
+            if f not in pending:
+                print(f"skipping frame {f} (exists: {_out_path(cfg, f)})")
+        for f in pending:
+            with timer.stage("ENQUEUE KERNELS"):
+                costs = engine(
+                    frames[f].astype(np.int32),
+                    None if ref_frames is None
+                    else np.asarray(ref_frames[f]).astype(np.int32))
+            with timer.stage("READ DISTORTION"):
+                msh = np.asarray(costs.min_sad_had)
+                sad = None if cfg.max_performance else np.asarray(costs.sad)
+                satd = (None if cfg.max_performance
+                        else np.asarray(costs.satd))
+            _export_frame(cfg, export, msh, sad, satd, poc=f)
+            _collect_target(f, msh, sad, satd)
+            if target_ctu is not None:
+                from vvc_mip_gpu_tpu.models.inspect import report_target_ctu
+
+                report_target_ctu(msh, cfg.width, target_ctu,
+                                  sad=sad, satd=satd)
+    elif cfg.mesh_data * cfg.mesh_space > 1:
         import os
 
         from vvc_mip_gpu_tpu.parallel import ShardedMipCostEngine, make_mesh

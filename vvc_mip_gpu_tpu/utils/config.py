@@ -44,6 +44,10 @@ class EngineConfig:
     batch_frames: int = 8  # pipelining window; 8 measured optimal on v5e
     mesh_data: int = 1
     mesh_space: int = 1
+    # Latency mode: each frame class-sharded over all local devices
+    # (parallel/latency_engine.py) — minimizes time-to-first-frame
+    # instead of throughput.
+    latency_mode: bool = False
     # Multi-host (jax.distributed): one process per host.
     coordinator: str | None = None
     num_processes: int = 1
@@ -73,3 +77,8 @@ class EngineConfig:
                 raise ValueError("frame dimensions must be multiples of 4")
         if self.n_frames < 1:
             raise ValueError("n_frames must be >= 1")
+        if self.latency_mode and (self.mesh_data * self.mesh_space > 1
+                                  or self.num_processes > 1):
+            raise ValueError(
+                "--LatencyMode uses all local devices by itself; it "
+                "cannot combine with --MeshData/--MeshSpace or multi-host")
