@@ -175,3 +175,31 @@ def test_compute_batch_pallas_interpret():
         np.testing.assert_array_equal(
             np.asarray(batched.min_sad_had[f]),
             np.asarray(singles[f].min_sad_had))
+
+
+@pytest.mark.parametrize("ctu_emit", ["1", "0"])
+def test_sid0_limbs_lever_interpret(ctu_emit):
+    """VVC_SID0_LIMBS=xla (4x4-class limb stack precomputed in one wide
+    XLA pass instead of per grid step in-kernel) must be bit-exact in
+    both emission modes — A/B candidate for the 4x4 class's gap to its
+    roofline floor."""
+    from vvc_mip_gpu_tpu.models import cost_engine as ce
+
+    frame = RNG.integers(0, 1024, size=(192, 128), dtype=np.int64)
+    old = (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._SID0_LIMBS,
+           ce._CTU_EMIT)
+    ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET = True, True
+    ce._SID0_LIMBS, ce._CTU_EMIT = "xla", ctu_emit
+    try:
+        got = MipCostEngine(128, 192, max_performance=True)(
+            frame.astype(np.int32))
+    finally:
+        (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._SID0_LIMBS,
+         ce._CTU_EMIT) = old
+    exp = gm.frame_costs(frame, frame)
+    valid = np.asarray(got.valid)
+    e = gm.flatten_strided(exp, "min_sad_had")
+    a = np.asarray(got.min_sad_had, np.int64)
+    mism = (e != a) & valid
+    assert not mism.any(), (
+        f"sid0_limbs=xla ctu_emit={ctu_emit}: {mism.sum()} mismatches")

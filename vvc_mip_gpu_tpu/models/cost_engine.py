@@ -75,6 +75,13 @@ _FETCH_MODE: str = _os.environ.get("VVC_FETCH", "both")
 # "0" keeps the lattice-emit + reorder path everywhere (A/B lever).
 _CTU_EMIT: str = _os.environ.get("VVC_CTU_EMIT", "1")
 
+# SizeId0 limb-stack source: "kernel" builds the boundary-reduce + limb
+# split in-kernel per grid step (~40 single-sublane plane ops x 288
+# steps at 1080p); "xla" precomputes the stack for the whole lattice in
+# one wide pass and feeds it as a kernel input (A/B lever for the 4x4
+# class's measured gap to its roofline floor).
+_SID0_LIMBS: str = _os.environ.get("VVC_SID0_LIMBS", "kernel")
+
 
 def _ctu_T(gp) -> int | None:
     """CTUs-per-grid-step for the CTU-direct emission of this group, or
@@ -195,6 +202,17 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
                          reft_permuted=True, interpret=_PALLAS_INTERPRET,
                          emit="msh_t" if max_performance
                          else "sad_satd_t")
+    def _sid0_limbs(rt, rl):
+        """XLA-precomputed limb stack for the 4x4 class (VVC_SID0_LIMBS
+        lever); None selects the in-kernel build."""
+        if not (use_pallas and w == 4 and h == 4
+                and _SID0_LIMBS == "xla"):
+            return None
+        from vvc_mip_gpu_tpu.ops.pallas import pred as pallas_pred
+
+        return pallas_pred._augmented_inputs(
+            soa.reduce_boundary(rt, 2), soa.reduce_boundary(rl, 2), 0)
+
     out: dict[int, object] = {}
     pending = []
     for gp in cplan.groups:
@@ -234,7 +252,7 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
                 None, og, rt, rl,
                 ctu_layout=(gp.ctu_rows, gp.ctu_cols,
                             gp.cu_rows, gp.cu_cols, t_ctus),
-                **kernel_kw)
+                limbs=_sid0_limbs(rt, rl), **kernel_kw)
         else:
             pending.append((gp, rt, rl, og))
     if not pending:
@@ -248,7 +266,9 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
         tile = (default_cu_tile(h, w) if mode_minor
                 else fused_cu_tile(h, w, two_m))
         costs = upsample_distortion(None, orig, ref_t, ref_l,
-                                    cu_tile=tile, **kernel_kw)
+                                    cu_tile=tile,
+                                    limbs=_sid0_limbs(ref_t, ref_l),
+                                    **kernel_kw)
     else:
         red_t = soa.reduce_boundary(ref_t, shape.boundary_size)
         red_l = soa.reduce_boundary(ref_l, shape.boundary_size)

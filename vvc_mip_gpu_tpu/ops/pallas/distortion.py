@@ -202,7 +202,8 @@ def _emit_costs(refs, sad, satd, emit: str, ctu=None):
         satd_ref[...] = satd
 
 
-def _kernel_sid0(*refs, two_m: int, emit: str, fused: bool, ctu=None):
+def _kernel_sid0(*refs, two_m: int, emit: str, fused: bool, ctu=None,
+                 has_limbs: bool = False):
     """SizeId0 (4x4, no upsampling): the mode axis rides the SUBLANES.
 
     pred arrives transposed to [16, 2M, tile] (or is computed in-kernel —
@@ -211,11 +212,21 @@ def _kernel_sid0(*refs, two_m: int, emit: str, fused: bool, ctu=None):
     tiles — no mode loop, no skinny 4-sublane planes (measured ~3x
     faster than the looped form for this class).
 
+    ``has_limbs``: the limb stack arrives precomputed (one wide XLA pass
+    over the whole lattice) instead of being built in-kernel from the
+    raw boundaries — the per-grid-step build is ~40 single-sublane plane
+    ops, a candidate for this class's measured gap to its roofline floor
+    (VVC_SID0_LIMBS lever).
+
     Sample order: any fixed order works as long as pred's rows match
     orig's (SAD is order-invariant and the two-sided 4x4 Hadamard SATD is
     transpose-invariant), so the engine's x-major fetch_rows layout needs
     no kernel change — only the matching pred sample_perm."""
-    if fused:
+    if fused and has_limbs:
+        mat_ref, orig_ref, limbs_ref, *rest = refs
+        c = orig_ref.shape[-1]
+        pred3 = _fused_pred(mat_ref, limbs_ref[...]).reshape(16, two_m, c)
+    elif fused:
         mat_ref, orig_ref, reft_ref, refl_ref, *rest = refs
         c = orig_ref.shape[-1]
         x = _build_limbs(reft_ref, refl_ref, 4, 4, 2)
@@ -541,7 +552,7 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
                         inputs_permuted=False, pred_mode_minor=False,
                         emit="sad_satd", mat=None, two_m=None,
                         sample_order="raster", reft_permuted=False,
-                        ctu_layout=None):
+                        ctu_layout=None, limbs=None):
     """Fused upsample+SAD+SATD for one class.
 
     pred: [2M, R*R, nCU] int16 reduced predictions (raster sample order).
@@ -685,15 +696,25 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
 
     if sid0:
         # SizeId0: mode-on-sublanes kernel (fused also takes the raw
-        # boundaries for the in-kernel reduce + limb split).
-        bnd_specs = [
-            pl.BlockSpec((w, tile), _idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, tile), _idx, memory_space=pltpu.VMEM),
-        ] if fused else []
-        bnd_inputs = (ref_t, refl_anchor) if fused else ()
+        # boundaries for the in-kernel reduce + limb split, OR the
+        # XLA-precomputed limb stack via ``limbs``).
+        if limbs is not None:
+            assert fused, "limbs input requires the fused pred path"
+            if pad:
+                limbs = jnp.pad(limbs, [(0, 0), (0, pad)])
+            bnd_specs = [pl.BlockSpec((limbs.shape[0], tile), _idx,
+                                      memory_space=pltpu.VMEM)]
+            bnd_inputs = (limbs,)
+        else:
+            bnd_specs = [
+                pl.BlockSpec((w, tile), _idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((h, tile), _idx, memory_space=pltpu.VMEM),
+            ] if fused else []
+            bnd_inputs = (ref_t, refl_anchor) if fused else ()
         outs = pl.pallas_call(
             functools.partial(_kernel_sid0, two_m=two_m, emit=emit,
-                              fused=fused, ctu=ctu_k),
+                              fused=fused, ctu=ctu_k,
+                              has_limbs=limbs is not None),
             grid=grid,
             in_specs=pred_specs + [
                 pl.BlockSpec((h * w, tile), _idx,
