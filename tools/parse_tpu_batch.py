@@ -26,8 +26,8 @@ def main(path: str) -> None:
     pending: str | None = None
 
     for ln in lines:
-        m = re.match(r"== (e2e-max|bench) (VVC_FETCH=\S+ VVC_CTU_EMIT=\S+)",
-                     ln)
+        m = re.match(r"== (e2e-max|bench) ((?:VVC_FETCH=\S+ VVC_CTU_EMIT=\S+"
+                     r"|VVC_SID0_LIMBS=\S+))", ln)
         if m:
             pending = f"{m.group(1)}|{m.group(2)}"
             continue
