@@ -87,6 +87,10 @@ def main() -> None:
     p.add_argument("--resolution", default=None,
                    help="WxH (default 1920x1080; e.g. 3840x2160)")
     p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--iters", type=int, default=None,
+                   help="timed iterations (default 6; the reference "
+                        "window reads the FULL cost tensor per "
+                        "iteration — through a slow relay link use 2)")
     p.add_argument("--filtered", action="store_true",
                    help="Alternative-samples regime: low-pass filter each "
                         "frame on device, then search against it "
@@ -118,6 +122,9 @@ def main() -> None:
         W, H = int(w), int(h)
     if args.batch:
         BATCH = args.batch
+    global ITERS
+    if args.iters:
+        ITERS = args.iters
 
     rng = np.random.default_rng(0)
     frames_np = rng.integers(0, 1024, size=(BATCH, H, W), dtype=np.int32)

@@ -52,7 +52,7 @@ timeout 1200 python bench.py 2>&1 | grep -v WARNING | tail -2 >> "$LOG"
 
 # Bench-level (dispatch-inclusive) A/B on the three most informative
 # configs: old-pipeline proxy, fetch-only, emit-only.
-for cfg in "none 0" "both 0" "none 1"; do
+for cfg in "both 1" "both 0" "none 1"; do
   set -- $cfg
   log "bench VVC_FETCH=$1 VVC_CTU_EMIT=$2 $(date -u +%H:%M:%S)"
   VVC_FETCH=$1 VVC_CTU_EMIT=$2 timeout 1200 python bench.py 2>&1 \
@@ -61,7 +61,7 @@ done
 
 log "side benches $(date -u +%H:%M:%S)"
 : > BENCH_SIDE.json
-for a in "--window reference" "--filtered" \
+for a in "--window reference --iters 2" "--filtered" \
          "--resolution 3840x2160 --batch 4" "--with-export"; do
   log "bench $a"
   timeout 1800 python bench.py $a 2>&1 | grep -v WARNING | tail -1 \

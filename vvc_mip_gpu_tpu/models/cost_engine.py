@@ -65,15 +65,23 @@ _PALLAS_INTERPRET: bool = False
 # Which roles the fetch_rows relayout kernel serves ("both" | "left" |
 # "orig" | "none"); an A/B lever for on-hardware profiling — the XLA
 # phase gathers are the fallback either way.
+#
+# DEFAULTS MATCH THE RECORDED MEASUREMENTS (r3): the round-2 partial
+# hardware batch (/tmp/tpu_batch1.log, Aug 17 11:41) measured the
+# shipped (both, 1) combination at 92.5 fps 1080p vs 114.2 fps for
+# (none, 0) under identical bench accounting (BENCH_r01) — a 19%
+# regression. Until the full per-lever A/B lands on hardware, defaults
+# stay on the measured winner; the round-2 kernels remain one env var
+# away.
 import os as _os
 
-_FETCH_MODE: str = _os.environ.get("VVC_FETCH", "both")
+_FETCH_MODE: str = _os.environ.get("VVC_FETCH", "none")
 
 # CTU-direct kernel emission ("1"): wide groups' distortion kernels
 # scatter their cost tiles straight into the reference CTU layout via
 # the output BlockSpec (no XLA reorder pass, no per-class input concat);
 # "0" keeps the lattice-emit + reorder path everywhere (A/B lever).
-_CTU_EMIT: str = _os.environ.get("VVC_CTU_EMIT", "1")
+_CTU_EMIT: str = _os.environ.get("VVC_CTU_EMIT", "0")
 
 # SizeId0 limb-stack source: "kernel" builds the boundary-reduce + limb
 # split in-kernel per grid step (~40 single-sublane plane ops x 288
