@@ -203,3 +203,25 @@ def test_sid0_limbs_lever_interpret(ctu_emit):
     mism = (e != a) & valid
     assert not mism.any(), (
         f"sid0_limbs=xla ctu_emit={ctu_emit}: {mism.sum()} mismatches")
+
+
+def test_sid1_limbs_lever_interpret():
+    """VVC_SID1_LIMBS=xla (mode-minor classes' limb stack precomputed in
+    XLA, including the %4 ref_t un-permute) must be bit-exact."""
+    from vvc_mip_gpu_tpu.models import cost_engine as ce
+
+    frame = RNG.integers(0, 1024, size=(192, 128), dtype=np.int64)
+    old = (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._SID1_LIMBS)
+    ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET = True, True
+    ce._SID1_LIMBS = "xla"
+    try:
+        got = MipCostEngine(128, 192, max_performance=True)(
+            frame.astype(np.int32))
+    finally:
+        (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._SID1_LIMBS) = old
+    exp = gm.frame_costs(frame, frame)
+    valid = np.asarray(got.valid)
+    e = gm.flatten_strided(exp, "min_sad_had")
+    a = np.asarray(got.min_sad_had, np.int64)
+    mism = (e != a) & valid
+    assert not mism.any(), f"sid1_limbs=xla: {mism.sum()} mismatches"

@@ -27,7 +27,7 @@ def main(path: str) -> None:
 
     for ln in lines:
         m = re.match(r"== (e2e-max|bench) ((?:VVC_FETCH=\S+ VVC_CTU_EMIT=\S+"
-                     r"|VVC_SID0_LIMBS=\S+))", ln)
+                     r"|VVC_SID0_LIMBS=\S+(?: VVC_SID1_LIMBS=\S+)?))", ln)
         if m:
             pending = f"{m.group(1)}|{m.group(2)}"
             continue

@@ -32,13 +32,18 @@ for c in 1 0; do
   done
 done
 
-# SizeId0 limb-source A/B (the 4x4 class's roofline-gap candidate).
+# SizeId0/1 limb-source A/B (the mode-on-sublanes classes'
+# roofline-gap candidate).
 for sl in xla kernel; do
   log "e2e-max VVC_SID0_LIMBS=$sl $(date -u +%H:%M:%S)"
   VVC_SID0_LIMBS=$sl timeout 1800 python \
       tools/profile_stages.py --e2e-max --e2e-only 2>&1 \
       | grep -v WARNING | tail -1 >> "$LOG"
 done
+log "e2e-max VVC_SID0_LIMBS=xla VVC_SID1_LIMBS=xla $(date -u +%H:%M:%S)"
+VVC_SID0_LIMBS=xla VVC_SID1_LIMBS=xla timeout 1800 python \
+    tools/profile_stages.py --e2e-max --e2e-only 2>&1 \
+    | grep -v WARNING | tail -1 >> "$LOG"
 log "per-class VVC_SID0_LIMBS=xla $(date -u +%H:%M:%S)"
 VVC_SID0_LIMBS=xla timeout 3000 python tools/profile_stages.py \
     --per-class 2>&1 | grep -v WARNING >> "$LOG"

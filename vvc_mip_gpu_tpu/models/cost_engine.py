@@ -83,12 +83,15 @@ _FETCH_MODE: str = _os.environ.get("VVC_FETCH", "none")
 # "0" keeps the lattice-emit + reorder path everywhere (A/B lever).
 _CTU_EMIT: str = _os.environ.get("VVC_CTU_EMIT", "0")
 
-# SizeId0 limb-stack source: "kernel" builds the boundary-reduce + limb
-# split in-kernel per grid step (~40 single-sublane plane ops x 288
-# steps at 1080p); "xla" precomputes the stack for the whole lattice in
-# one wide pass and feeds it as a kernel input (A/B lever for the 4x4
-# class's measured gap to its roofline floor).
+# SizeId0/1 limb-stack source: "kernel" builds the boundary-reduce +
+# limb split in-kernel per grid step (~40 single-sublane plane ops x
+# 288 steps at 1080p for the 4x4 class); "xla" precomputes the stack
+# for the whole lattice in one wide pass and feeds it as a kernel input
+# (A/B levers for the mode-on-sublanes classes' gap to their roofline
+# floors; the SizeId1 kernels still take the raw boundaries as upsample
+# bases either way).
 _SID0_LIMBS: str = _os.environ.get("VVC_SID0_LIMBS", "kernel")
+_SID1_LIMBS: str = _os.environ.get("VVC_SID1_LIMBS", "kernel")
 
 
 def _ctu_T(gp) -> int | None:
@@ -211,15 +214,28 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
                          emit="msh_t" if max_performance
                          else "sad_satd_t")
     def _sid0_limbs(rt, rl):
-        """XLA-precomputed limb stack for the 4x4 class (VVC_SID0_LIMBS
-        lever); None selects the in-kernel build."""
-        if not (use_pallas and w == 4 and h == 4
-                and _SID0_LIMBS == "xla"):
+        """XLA-precomputed limb stack for the mode-on-sublanes classes
+        (VVC_SID0_LIMBS / VVC_SID1_LIMBS levers); None selects the
+        in-kernel build.  For the x-major-%4 SizeId1 classes the stored
+        ref_t rows are un-permuted back to raster before the reduce
+        (the in-kernel build does the same via its t_order map)."""
+        sid0 = w == 4 and h == 4
+        if not use_pallas or not (
+                (sid0 and _SID0_LIMBS == "xla")
+                or (mode_minor and not sid0 and _SID1_LIMBS == "xla")):
             return None
         from vvc_mip_gpu_tpu.ops.pallas import pred as pallas_pred
 
+        if not sid0 and w > 4:
+            from vvc_mip_gpu_tpu.ops.pallas.distortion import _mod4_major
+
+            # stored[k] = raster[_mod4_major(w)[k]] => raster order is
+            # stored[argsort(perm)] (the kernel's t_order map).
+            rt = rt[np.argsort(_mod4_major(w))]
+        bs = shape.boundary_size
         return pallas_pred._augmented_inputs(
-            soa.reduce_boundary(rt, 2), soa.reduce_boundary(rl, 2), 0)
+            soa.reduce_boundary(rt, bs), soa.reduce_boundary(rl, bs),
+            shape.size_id)
 
     out: dict[int, object] = {}
     pending = []

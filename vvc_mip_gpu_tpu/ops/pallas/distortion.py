@@ -267,7 +267,8 @@ def _satd4x4_planes(d):
     return (acc - dc + (dc >> 2) + 1) >> 1
 
 
-def _kernel_mode_minor(*refs, h: int, w: int, r: int, two_m: int,
+def _kernel_mode_minor(*refs, has_limbs: bool = False, h: int, w: int,
+                       r: int, two_m: int,
                        emit: str, fused: bool,
                        sample_order: str = "raster", ctu=None):
     """SizeId0/1 classes (r == 4): the mode axis rides the SUBLANES.
@@ -301,10 +302,16 @@ def _kernel_mode_minor(*refs, h: int, w: int, r: int, two_m: int,
         t_order = None
     if fused:
         # refl_ref holds the FULL [h, tile] raster left boundary here
-        # (the boundary reduce + limb split run in-kernel).
-        mat_ref, orig_ref, reft_ref, refl_ref, *rest = refs
+        # (the boundary reduce + limb split run in-kernel — or arrive
+        # precomputed via ``has_limbs``; the raw boundaries are still
+        # needed as the upsample interpolation bases).
+        if has_limbs:
+            mat_ref, orig_ref, reft_ref, refl_ref, limbs_ref, *rest = refs
+            x = limbs_ref[...]
+        else:
+            mat_ref, orig_ref, reft_ref, refl_ref, *rest = refs
+            x = _build_limbs(reft_ref, refl_ref, w, h, 4, t_order=t_order)
         c = orig_ref.shape[-1]
-        x = _build_limbs(reft_ref, refl_ref, w, h, 4, t_order=t_order)
         predv = _fused_pred(mat_ref, x)  # rows (s, m)
 
         def pred_plane(i):
@@ -730,7 +737,18 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
         # SizeId1 classes: mode-on-sublanes kernel; every sample access
         # is static indexing, so the order is a parameter: raster
         # (legacy/tests) or the phase4 pipeline's x-major %4 layout.
-        kernel = functools.partial(_kernel_mode_minor, h=h, w=w, r=r,
+        limb_specs = []
+        limb_inputs = ()
+        if limbs is not None:
+            assert fused, "limbs input requires the fused pred path"
+            if pad:
+                limbs = jnp.pad(limbs, [(0, 0), (0, pad)])
+            limb_specs = [pl.BlockSpec((limbs.shape[0], tile), _idx,
+                                       memory_space=pltpu.VMEM)]
+            limb_inputs = (limbs,)
+        kernel = functools.partial(_kernel_mode_minor,
+                                   has_limbs=limbs is not None,
+                                   h=h, w=w, r=r,
                                    two_m=two_m, emit=emit, fused=fused,
                                    sample_order=sample_order, ctu=ctu_k)
         outs = pl.pallas_call(
@@ -743,11 +761,11 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((refl_anchor.shape[0], tile),
                              _idx, memory_space=pltpu.VMEM),
-            ],
+            ] + limb_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(*pred_inputs, orig, ref_t, refl_anchor)
+        )(*pred_inputs, orig, ref_t, refl_anchor, *limb_inputs)
         return _sliced(outs)
 
     # Static %4-group permutations (see _kernel); applied here unless the
