@@ -100,3 +100,28 @@ def test_phase4_groups_match_raster(use_pallas):
                     err_msg=f"{w}x{h} g{gp.group_index} orig")
     finally:
         ce._PALLAS_INTERPRET = old
+
+
+def test_fetch_rows_over_budget_raises_valueerror():
+    """The single-buffer fallback must ALSO be budget-checked: an
+    over-VMEM geometry has to surface as ValueError (which lets
+    _gather_group_phase4 fall back to the XLA gather) instead of a
+    Mosaic compile failure (ADVICE r2)."""
+    import jax
+    import numpy as np
+    import pytest
+
+    from vvc_mip_gpu_tpu.ops.pallas.gather import _rows_per_step, fetch_rows
+
+    # Directly: a geometry whose k = n_r fallback scratch exceeds 6 MB.
+    with pytest.raises(ValueError, match="VMEM budget"):
+        # p=4 phases, n_r=1001 rows (not divisible by 8 -> no k fits),
+        # sy=64, c=128 lanes: 4*1001*64*128*2 B = 62 MB >> budget.
+        _rows_per_step(1001, 4, 64, 8, 128)
+
+    # And end-to-end through fetch_rows' eager validation.
+    f4 = jax.ShapeDtypeStruct((4, 70000, 128), np.int16)
+    with pytest.raises(ValueError):
+        fetch_rows(jax.numpy.zeros(f4.shape, f4.dtype),
+                   runs=((0, 4),), oy=0, sy=64, h=8, n_r=1001,
+                   c_log=100, interpret=True)
