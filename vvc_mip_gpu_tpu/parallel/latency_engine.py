@@ -98,7 +98,12 @@ class LatencyMipCostEngine:
         self.width = width
         self.height = height
         self.max_performance = max_performance
-        devices = list(devices if devices is not None else jax.devices())
+        # Host-local default: this engine places per-device programs with
+        # device_put (no collectives), which requires addressable
+        # devices — jax.devices() would include remote hosts' chips in a
+        # multi-process runtime.
+        devices = list(devices if devices is not None
+                       else jax.local_devices())
         weights = weights if weights is not None else class_weights(
             width, height)
         parts = partition_classes(len(devices), weights)
