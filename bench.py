@@ -46,9 +46,30 @@ def _probe_backend() -> bool:
         return False
 
 
+def _metric_from_argv() -> str:
+    """Best-effort metric name for error artifacts (mirrors main()'s
+    naming) so a failed 4K/filtered side run isn't mislabeled as the
+    1080p headline."""
+    argv = sys.argv[1:]
+    tag = "1080p"
+    if "--resolution" in argv:
+        try:
+            tag = argv[argv.index("--resolution") + 1]
+        except IndexError:
+            pass
+    name = f"mip_search_{tag}"
+    if "--filtered" in argv:
+        name += "_filtered"
+    if "--window" in argv and "reference" in argv:
+        name += "_refwindow"
+    if "--with-export" in argv:
+        name += "_with_export"
+    return name + "_frames_per_second"
+
+
 def _emit_error(reason: str) -> None:
     print(json.dumps({
-        "metric": "mip_search_1080p_frames_per_second",
+        "metric": _metric_from_argv(),
         "value": None,
         "unit": "frames/s",
         "vs_baseline": None,
@@ -157,7 +178,10 @@ def main() -> None:
         return jax.vmap(one_frame)(fr)
 
     if args.with_export:
-        metric = f"mip_search_{tag}_with_export_frames_per_second"
+        # Compose onto the already-qualified name so --filtered /
+        # --window reference runs stay distinguishable.
+        metric = metric.replace("_frames_per_second",
+                                "_with_export_frames_per_second")
         _bench_with_export(one_frame, frames_np, metric)
         return
 
@@ -267,8 +291,11 @@ def _bench_with_export(one_frame, frames_np, metric: str) -> None:
 
 
 def _transient(exc: Exception) -> bool:
-    """Known transient remote-TPU relay failures (retryable); anything
-    else — including deterministic bugs — propagates immediately."""
+    """Known transient remote-TPU relay failures (retryable).  Anything
+    else — including deterministic bugs — skips the retries and is
+    reported as an error JSON artifact with exit code 1 (the driver
+    records both the artifact and the rc; rc-based automation sees the
+    failure, artifact-based automation sees the reason)."""
     msg = f"{type(exc).__name__}: {exc}"
     return any(s in msg for s in (
         "FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE_EXCEEDED",
@@ -278,13 +305,18 @@ def _transient(exc: Exception) -> bool:
 if __name__ == "__main__":
     # Fail FAST when the relay is down: probe in a subprocess under a
     # 40 s timeout and emit a diagnostic JSON artifact (exit 0) instead
-    # of hanging into the driver's rc=124 window.
-    if not os.environ.get("VVC_MIP_PLATFORM") and not _probe_backend():
+    # of hanging into the driver's rc=124 window.  VVC_MIP_SKIP_PROBE=1
+    # skips it when the caller already probed (tools/tpu_batch_r2.sh
+    # invokes bench ~8 times in a row).
+    if (not os.environ.get("VVC_MIP_PLATFORM")
+            and not os.environ.get("VVC_MIP_SKIP_PROBE")
+            and not _probe_backend()):
         _emit_error(f"backend unavailable (probe timeout {PROBE_TIMEOUT_S}s)")
         sys.exit(0)
     # The remote-TPU relay occasionally throws transient backend errors
     # (FAILED_PRECONDITION); one retry must not cost the benchmark run,
-    # but total retry time is hard-bounded.
+    # but total retry time is hard-bounded.  Deterministic failures emit
+    # the error artifact AND exit nonzero (see _transient).
     for attempt in range(3):
         try:
             main()
@@ -293,5 +325,5 @@ if __name__ == "__main__":
             if (attempt == 2 or not _transient(e)
                     or time.monotonic() - _T_START > MAX_WALL_S):
                 _emit_error(f"{type(e).__name__}: {e}"[:300])
-                sys.exit(0)
+                sys.exit(0 if _transient(e) else 1)
             time.sleep(10)

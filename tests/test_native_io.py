@@ -25,13 +25,17 @@ import pytest
     (False, None),   # max-performance zero-costs fast path
     (False, 3),      # POC-columned multi-frame log (native since r3)
     (True, 0),
+    ("sad_only", None),   # exactly one column present: the other must
+    ("satd_only", None),  # be REAL zeros, not placeholder data
 ])
 def test_native_export_matches_pandas(tmp_path, monkeypatch, full, poc):
     rng = np.random.default_rng(2)
     msh = rng.integers(0, 100000, size=(2, export.DIST_PER_CTU))
     sad = rng.integers(0, 50000, size=(2, export.DIST_PER_CTU))
     satd = rng.integers(0, 50000, size=(2, export.DIST_PER_CTU))
-    kw = dict(sad=sad, satd=satd) if full else {}
+    kw = (dict(sad=sad, satd=satd) if full is True
+          else dict(sad=sad) if full == "sad_only"
+          else dict(satd=satd) if full == "satd_only" else {})
     p_nat = tmp_path / "nat.csv"
     p_pd = tmp_path / "pd.csv"
     export.export_decisions_csv(p_nat, msh, 256, poc=poc, **kw)

@@ -47,7 +47,13 @@ def main(path: str) -> None:
             pending = None
         elif kind == "bench" and ln.lstrip().startswith("{"):
             try:
-                bench.append((cfg, json.loads(ln)["value"]))
+                val = json.loads(ln)["value"]
+                # bench emits {"value": null, "error": ...} on relay
+                # failure — keep the table alive, surface the error.
+                if val is None:
+                    other.append(f"{cfg}: bench errored: {ln}")
+                else:
+                    bench.append((cfg, val))
             except (json.JSONDecodeError, KeyError):
                 other.append(f"{cfg}: unparseable bench line: {ln}")
             pending = None

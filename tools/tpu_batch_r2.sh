@@ -11,6 +11,8 @@ cd /root/repo
 # tools/*.py import the package from the repo root, and /root/.axon_site
 # must stay importable for the axon TPU plugin.
 export PYTHONPATH="/root/repo:${PYTHONPATH:-/root/.axon_site}"
+# The script probes once below; bench.py need not re-probe per call.
+export VVC_MIP_SKIP_PROBE=1
 : > "$LOG"
 log() { echo "== $*" >> "$LOG"; }
 

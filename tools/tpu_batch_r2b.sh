@@ -10,6 +10,7 @@ LOG=${3:-/tmp/tpu_batch_b.log}
 cd /root/repo
 export PYTHONPATH="/root/repo:${PYTHONPATH:-/root/.axon_site}"
 export VVC_FETCH="$FETCH" VVC_CTU_EMIT="$EMIT"
+export VVC_MIP_SKIP_PROBE=1
 : > "$LOG"
 log() { echo "== $*" >> "$LOG"; }
 

@@ -173,12 +173,16 @@ def run(cfg: EngineConfig, synthetic: bool = False,
             if f not in pending:
                 print(f"skipping frame {f} (exists: {_out_path(cfg, f)})")
         for f in pending:
+            # dispatch/assemble split keeps the stage attribution honest:
+            # ENQUEUE covers the async per-device dispatches, READ the
+            # blocking readback + block concatenation.
             with timer.stage("ENQUEUE KERNELS"):
-                costs = engine(
+                outs = engine.dispatch(
                     frames[f].astype(np.int32),
                     None if ref_frames is None
                     else np.asarray(ref_frames[f]).astype(np.int32))
             with timer.stage("READ DISTORTION"):
+                costs = engine.assemble(outs)
                 msh = np.asarray(costs.min_sad_had)
                 sad = None if cfg.max_performance else np.asarray(costs.sad)
                 satd = (None if cfg.max_performance

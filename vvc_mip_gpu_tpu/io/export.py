@@ -91,12 +91,20 @@ def export_decisions_csv(path: str | Path, min_sad_had: np.ndarray,
         hdr = "CTU,cuSizeName,W,H,CU,X,Y,Mode,SAD,SATD,minSadHad\n"
         if poc is not None:
             hdr = "POC," + hdr
+        # zero_costs: the writer never reads the SAD/SATD buffers (emits
+        # literal 0,0) — min_sad_had stands in as placeholder.  When
+        # exactly ONE of sad/satd is provided, the missing column must
+        # be real zeros (matching the pandas fallback), NOT the
+        # placeholder.
+        zeros = (None if zero_costs or (sad is not None
+                                        and satd is not None)
+                 else np.zeros_like(min_sad_had, np.int64))
         native.write_decisions_csv(
             str(path), hdr, _prefix_table(), x_in, y_in,
-            # zero_costs: the writer never reads the SAD/SATD buffers
-            # (emits literal 0,0) — min_sad_had stands in as placeholder.
-            min_sad_had if sad is None else sad,
-            min_sad_had if satd is None else satd,
+            min_sad_had if zero_costs else (zeros if sad is None
+                                            else sad),
+            min_sad_had if zero_costs else (zeros if satd is None
+                                            else satd),
             min_sad_had, n_ctu, ctu_cols, CTU_SIZE,
             zero_costs=zero_costs, poc=-1 if poc is None else int(poc))
         return

@@ -118,17 +118,31 @@ class LatencyMipCostEngine:
         n = len(self._parts)
         self._fns_shared, self._fns_ref = self._fns[:n], self._fns[n:]
 
-    def __call__(self, frame, ref_frame=None) -> FrameCosts:
+    def dispatch(self, frame, ref_frame=None) -> list:
+        """Enqueue every device's class-subset program (async) and
+        return the raw per-device output dicts — still device arrays.
+        Pair with :meth:`assemble`; callers that want stage-accurate
+        timing (e.g. the CLI's ENQUEUE/READ split) use the pair."""
         share = ref_frame is None
+        # ONE host-side conversion, then a direct per-device put of the
+        # numpy buffer (an in-loop jnp.asarray would upload the frame to
+        # the default device N times plus a D2D hop — measurable on the
+        # latency-critical path this engine exists for).
+        frame = np.asarray(frame)
+        if not share:
+            ref_frame = np.asarray(ref_frame)
         outs = []
         for (dev, _), fn in zip(self._parts,
                                 self._fns_shared if share
                                 else self._fns_ref):
-            fd = jax.device_put(jnp.asarray(frame), dev)
-            rd = fd if share else jax.device_put(jnp.asarray(ref_frame),
-                                                 dev)
+            fd = jax.device_put(frame, dev)
+            rd = fd if share else jax.device_put(ref_frame, dev)
             outs.append(fn(fd, rd))  # async: devices run concurrently
+        return outs
 
+    def assemble(self, outs) -> FrameCosts:
+        """Read back and concatenate the per-device blocks (blocks until
+        every device finishes)."""
         blocks: dict[int, object] = {}
         for out in outs:
             for k, v in out.items():
@@ -146,3 +160,6 @@ class LatencyMipCostEngine:
         return FrameCosts(
             sad=sad, satd=satd, min_sad_had=msh,
             valid=_validity_mask(self.width, self.height))
+
+    def __call__(self, frame, ref_frame=None) -> FrameCosts:
+        return self.assemble(self.dispatch(frame, ref_frame))
