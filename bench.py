@@ -253,6 +253,8 @@ def _bench_with_export(one_frame, frames_np, metric: str) -> None:
 
     from vvc_mip_gpu_tpu.io import export as dexport
 
+    from vvc_mip_gpu_tpu.utils.pipeline import pipelined
+
     iters = 3
     frames = jax.device_put(jnp.asarray(frames_np))
     run_batch_msh = jax.jit(lambda fr: jax.vmap(one_frame)(fr))
@@ -260,22 +262,15 @@ def _bench_with_export(one_frame, frames_np, metric: str) -> None:
     outdir = tempfile.mkdtemp(prefix="benchx_")
     try:
         t0 = time.perf_counter()
-        in_flight: list = []
 
-        def drain(slot):
-            i, dev = slot
+        def drain(i, dev):
             msh = np.asarray(dev)
             for b in range(msh.shape[0]):
                 dexport.export_decisions_csv(
                     os.path.join(outdir, f"dec_{i}_{b}.csv"), msh[b], W)
 
-        for i in range(iters):
-            dev = run_batch_msh(frames ^ (i + 1))
-            in_flight.append((i, dev))
-            if len(in_flight) >= 2:
-                drain(in_flight.pop(0))
-        while in_flight:
-            drain(in_flight.pop(0))
+        pipelined(range(iters),
+                  lambda i: run_batch_msh(frames ^ (i + 1)), drain)
         dt = (time.perf_counter() - t0) / (iters * BATCH)
         n_csv = len(os.listdir(outdir))
         assert n_csv == iters * BATCH, f"{n_csv} CSVs != {iters * BATCH}"

@@ -21,6 +21,7 @@ import sys
 import numpy as np
 
 from vvc_mip_gpu_tpu.utils.config import EngineConfig
+from vvc_mip_gpu_tpu.utils.pipeline import pipelined
 from vvc_mip_gpu_tpu.utils.timing import StageTimer, print_timestamp
 
 
@@ -223,10 +224,8 @@ def run(cfg: EngineConfig, synthetic: bool = False,
         true_n = num_ctus(cfg.width, cfg.height)[2]
         chunk_n = (-(-max(cfg.batch_frames, 1) // cfg.mesh_data)
                    * cfg.mesh_data)
-        in_flight = []
 
-        def drain_sharded(slot):
-            pocs, costs = slot
+        def drain_sharded(pocs, costs):
             with timer.stage("READ DISTORTION"):
                 # Slice to the TRUE CTU count: spatial padding can add
                 # whole phantom CTU rows when space > ceil(H/128)/rows.
@@ -243,22 +242,20 @@ def run(cfg: EngineConfig, synthetic: bool = False,
                                 None if sad is None else sad[b],
                                 None if satd is None else satd[b])
 
-        for c0 in range(0, len(pending), chunk_n):
-            pocs = pending[c0:c0 + chunk_n]
+        def dispatch_sharded(pocs):
             # Pad to the ONE compiled batch shape when there are multiple
             # chunks, else just up to a multiple of the data axis.
             target = (chunk_n if len(pending) > chunk_n
                       else -(-len(pocs) // cfg.mesh_data) * cfg.mesh_data)
             feed = list(pocs) + [pocs[-1]] * (target - len(pocs))
             with timer.stage("ENQUEUE KERNELS"):
-                costs = engine(frames[feed].astype(np.int32),
-                               None if ref_frames is None
-                               else ref_frames[feed].astype(np.int32))
-            in_flight.append((pocs, costs))
-            if len(in_flight) >= 2:
-                drain_sharded(in_flight.pop(0))
-        while in_flight:
-            drain_sharded(in_flight.pop(0))
+                return engine(frames[feed].astype(np.int32),
+                              None if ref_frames is None
+                              else ref_frames[feed].astype(np.int32))
+
+        pipelined((pending[c0:c0 + chunk_n]
+                   for c0 in range(0, len(pending), chunk_n)),
+                  dispatch_sharded, drain_sharded)
     else:
         from vvc_mip_gpu_tpu.models.cost_engine import MipCostEngine
 
@@ -270,10 +267,8 @@ def run(cfg: EngineConfig, synthetic: bool = False,
         # analog of the reference's BUFFER_SLOTS circular buffer + async
         # write queue (main_aux_functions.h:5, main.cpp:886-898).
         chunk_n = max(1, cfg.batch_frames)  # CLI --BatchFrames (default 8)
-        in_flight: list[tuple[list[int], object]] = []
 
-        def drain(slot):
-            pocs, costs = slot
+        def drain(pocs, costs):
             with timer.stage("READ DISTORTION"):
                 msh = np.asarray(costs.min_sad_had)
                 sad = (None if cfg.max_performance
@@ -303,8 +298,7 @@ def run(cfg: EngineConfig, synthetic: bool = False,
         for f in range(cfg.n_frames):
             if f not in pending:
                 print(f"skipping frame {f} (exists: {_out_path(cfg, f)})")
-        for c0 in range(0, len(pending), chunk_n):
-            pocs = pending[c0:c0 + chunk_n]
+        def dispatch(pocs):
             # Pad a ragged tail chunk up to chunk_n by repeating the last
             # poc (dropped on drain) so every dispatch reuses the ONE
             # compiled batch shape — a second full XLA compile of the
@@ -315,15 +309,14 @@ def run(cfg: EngineConfig, synthetic: bool = False,
             if len(pending) > chunk_n:
                 feed += [pocs[-1]] * (chunk_n - len(pocs))
             with timer.stage("ENQUEUE KERNELS"):
-                costs = engine.compute_batch(
+                return engine.compute_batch(
                     frames[feed].astype(np.int32),
                     None if ref_frames is None
                     else ref_frames[np.asarray(feed)].astype(np.int32))
-            in_flight.append((pocs, costs))
-            if len(in_flight) >= 2:
-                drain(in_flight.pop(0))
-        while in_flight:
-            drain(in_flight.pop(0))
+
+        pipelined((pending[c0:c0 + chunk_n]
+                   for c0 in range(0, len(pending), chunk_n)),
+                  dispatch, drain)
 
     if target_ctu is not None and tgt_msh:
         from vvc_mip_gpu_tpu.io.export import export_target_ctu_csv
