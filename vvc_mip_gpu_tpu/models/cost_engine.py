@@ -97,8 +97,11 @@ _SID1_LIMBS: str = _os.environ.get("VVC_SID1_LIMBS", "kernel")
 def _ctu_T(gp) -> int | None:
     """CTUs-per-grid-step for the CTU-direct emission of this group, or
     None where the lattice-emit path is better: the largest divisor T of
-    ctu_cols with tile = T*cu_cols lanes in [120, 1024] — narrower tiles
-    under-fill the 128-lane VPU worse than the reorder pass costs."""
+    ctu_cols with tile = T*cu_cols lanes in [128, 1024].  Mosaic requires
+    the lane axis of every input block to be a multiple of 128 (or the
+    whole array), so tiles off that lattice are ILLEGAL, not just slow —
+    at 1080p (ctu_cols=15, all divisors odd) no group qualifies and the
+    engine falls back to lattice emit + reorder pass for all of them."""
     best = None
     for t in range(1, gp.ctu_cols + 1):
         if gp.ctu_cols % t:
@@ -106,7 +109,7 @@ def _ctu_T(gp) -> int | None:
         tile = t * gp.cu_cols
         if tile > 1024:
             break
-        if tile >= 120:
+        if tile % 128 == 0:
             best = t
     return best
 
