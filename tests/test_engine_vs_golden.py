@@ -85,31 +85,29 @@ def test_pallas_engine_wiring_interpret(max_performance):
 
 
 @pytest.mark.parametrize("fetch", ["both", "left", "orig", "none"])
-@pytest.mark.parametrize("ctu_emit", ["1", "0"])
-def test_fetch_emit_levers_interpret(fetch, ctu_emit):
-    """Every VVC_FETCH x VVC_CTU_EMIT lever combination must be bit-exact
-    through the engine (interpret-mode kernels) — whichever wins the TPU
-    A/B becomes the default, so all candidates need standing coverage."""
+def test_fetch_lever_interpret(fetch):
+    """Every VVC_FETCH lever setting must be bit-exact through the engine
+    (interpret-mode kernels) — whichever wins the TPU A/B becomes the
+    default, so all candidates need standing coverage."""
     from vvc_mip_gpu_tpu.models import cost_engine as ce
 
     frame = RNG.integers(0, 1024, size=(128, 128), dtype=np.int64)
-    old = (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._FETCH_MODE,
-           ce._CTU_EMIT)
+    old = (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._FETCH_MODE)
     ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET = True, True
-    ce._FETCH_MODE, ce._CTU_EMIT = fetch, ctu_emit
+    ce._FETCH_MODE = fetch
     try:
         got = MipCostEngine(128, 128, max_performance=True)(
             frame.astype(np.int32))
     finally:
-        (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._FETCH_MODE,
-         ce._CTU_EMIT) = old
+        (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET,
+         ce._FETCH_MODE) = old
     exp = gm.frame_costs(frame, frame)
     valid = np.asarray(got.valid)
     e = gm.flatten_strided(exp, "min_sad_had")
     a = np.asarray(got.min_sad_had, np.int64)
     mism = (e != a) & valid
     assert not mism.any(), (
-        f"fetch={fetch} ctu_emit={ctu_emit}: {mism.sum()} mismatches")
+        f"fetch={fetch}: {mism.sum()} mismatches")
 
 
 @pytest.mark.slow
@@ -177,32 +175,29 @@ def test_compute_batch_pallas_interpret():
             np.asarray(singles[f].min_sad_had))
 
 
-@pytest.mark.parametrize("ctu_emit", ["1", "0"])
-def test_sid0_limbs_lever_interpret(ctu_emit):
+def test_sid0_limbs_lever_interpret():
     """VVC_SID0_LIMBS=xla (4x4-class limb stack precomputed in one wide
-    XLA pass instead of per grid step in-kernel) must be bit-exact in
-    both emission modes — A/B candidate for the 4x4 class's gap to its
-    roofline floor."""
+    XLA pass instead of per grid step in-kernel) must be bit-exact —
+    A/B candidate for the 4x4 class's gap to its roofline floor."""
     from vvc_mip_gpu_tpu.models import cost_engine as ce
 
     frame = RNG.integers(0, 1024, size=(192, 128), dtype=np.int64)
-    old = (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._SID0_LIMBS,
-           ce._CTU_EMIT)
+    old = (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._SID0_LIMBS)
     ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET = True, True
-    ce._SID0_LIMBS, ce._CTU_EMIT = "xla", ctu_emit
+    ce._SID0_LIMBS = "xla"
     try:
         got = MipCostEngine(128, 192, max_performance=True)(
             frame.astype(np.int32))
     finally:
-        (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._SID0_LIMBS,
-         ce._CTU_EMIT) = old
+        (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET,
+         ce._SID0_LIMBS) = old
     exp = gm.frame_costs(frame, frame)
     valid = np.asarray(got.valid)
     e = gm.flatten_strided(exp, "min_sad_had")
     a = np.asarray(got.min_sad_had, np.int64)
     mism = (e != a) & valid
     assert not mism.any(), (
-        f"sid0_limbs=xla ctu_emit={ctu_emit}: {mism.sum()} mismatches")
+        f"sid0_limbs=xla: {mism.sum()} mismatches")
 
 
 def test_sid1_limbs_lever_interpret():

@@ -118,42 +118,3 @@ def test_fused_pred_matches_soa(h, w, r, two_m, emit):
                                       np.asarray(exp_satd).T)
 
 
-@pytest.mark.parametrize("h,w,r,two_m", ALL_CLASSES)
-def test_ctu_direct_emission(h, w, r, two_m):
-    """ctu_layout: the output BlockSpec must scatter cost tiles into the
-    reference CTU layout bit-identically to lattice emit + XLA reorder
-    (the layout contract of cost_engine._ctu_T / _class_costs)."""
-    from vvc_mip_gpu_tpu.ops.pallas import pred as pallas_pred
-    from vvc_mip_gpu_tpu.ops.pallas.distortion import input_perms
-
-    size_id = 0 if (h == 4 and w == 4) else (1 if r == 4 else 2)
-    mode_minor = r == 4 and size_id != 0
-    ctu_r, ctu_c, cu_r, cu_c = 2, 4, 2, 4
-    n = ctu_r * cu_r * ctu_c * cu_c
-    orig = jnp.asarray(RNG.integers(0, 1024, (h * w, n)), jnp.int16)
-    ref_t = jnp.asarray(RNG.integers(0, 1024, (w, n)), jnp.int16)
-    ref_l = jnp.asarray(RNG.integers(0, 1024, (h, n)), jnp.int16)
-    sample_perm = (tuple(int(v) for v in input_perms(h, w, r)[0])
-                   if size_id == 2 else None)
-    mat = jnp.asarray(pallas_pred._augmented_matrix(
-        size_id, sample_perm, mode_minor or size_id == 0))
-    kw = dict(h=h, w=w, r=r, interpret=True, mat=mat, two_m=two_m)
-
-    def reorder(a):  # lattice mode-minor [n, 2M] -> [nCTU, cu*2M]
-        a = np.asarray(a).reshape(ctu_r, cu_r, ctu_c, cu_c * two_m)
-        return a.transpose(0, 2, 1, 3).reshape(ctu_r * ctu_c, -1)
-
-    exp = upsample_distortion(None, orig, ref_t, ref_l, cu_tile=128,
-                              emit="msh_t", **kw)
-    for t_ctus in (2, 4):
-        got = upsample_distortion(
-            None, orig, ref_t, ref_l, emit="msh_t",
-            ctu_layout=(ctu_r, ctu_c, cu_r, cu_c, t_ctus), **kw)
-        np.testing.assert_array_equal(np.asarray(got), reorder(exp))
-    exp2 = upsample_distortion(None, orig, ref_t, ref_l, cu_tile=128,
-                               emit="sad_satd_t", **kw)
-    got2 = upsample_distortion(
-        None, orig, ref_t, ref_l, emit="sad_satd_t",
-        ctu_layout=(ctu_r, ctu_c, cu_r, cu_c, 2), **kw)
-    for e, g in zip(exp2, got2):
-        np.testing.assert_array_equal(np.asarray(g), reorder(e))

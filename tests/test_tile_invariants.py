@@ -28,25 +28,6 @@ def test_fused_tiles_are_lane_multiples_and_unroll_in_budget(w, h):
 
 
 @pytest.mark.parametrize("w,h", RESOLUTIONS)
-def test_ctu_direct_tiles_are_mosaic_legal(w, h):
-    """CTU-direct emission tiles (T*cu_cols input-block lanes) must be
-    128-multiples: Mosaic rejects any other block width outright (the
-    trace-level tests can't catch this — lowering only runs on TPU).
-    Regression for the r3 1080p failure where T=15, cu_cols=8 produced
-    a 120-lane block."""
-    from vvc_mip_gpu_tpu.models.cost_engine import _ctu_T
-
-    for cplan in class_plans(w, h):
-        for gp in cplan.groups:
-            t = _ctu_T(gp)
-            if t is not None:
-                assert gp.ctu_cols % t == 0
-                tile = t * gp.cu_cols
-                assert tile % 128 == 0 and tile <= 1024, (
-                    w, h, gp.group_index, t, tile)
-
-
-@pytest.mark.parametrize("w,h", RESOLUTIONS)
 def test_phase_gather_plans_never_wrap(w, h):
     """Every phase-split group satisfies x0 + width <= stride (the
     no-wrap precondition of gather_*_phase) and the padded slab width
@@ -73,10 +54,9 @@ def test_phase_gather_plans_never_wrap(w, h):
 
 @pytest.mark.parametrize("w,h", [(416, 240), (608, 192), (1920, 1080)])
 def test_pallas_engine_traces_all_resolutions(w, h):
-    """The full pallas engine branch (fetch_rows plans, CTU-direct
-    emission shape asserts, augmented matrices) must TRACE at partial-CTU
-    and production resolutions in both emit modes — catches any
-    ctu_layout/lattice shape mismatch without executing kernels."""
+    """The full pallas engine branch (fetch_rows plans, augmented
+    matrices) must TRACE at partial-CTU and production resolutions —
+    catches lattice shape mismatches without executing kernels."""
     import jax
     import jax.numpy as jnp
 

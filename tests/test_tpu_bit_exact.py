@@ -73,9 +73,9 @@ def test_engine_max_performance_bit_exact_on_tpu(tpu_backend):
 # The bf16-trap class of bug is content- and layout-dependent: 1080p
 # exercises different grid extents and padding than 416x240, the
 # filtered regime routes boundaries through the device filter, and the
-# VVC_FETCH / VVC_CTU_EMIT levers select entirely different gather and
-# emission code paths.  Every shipped default combination must land
-# with hardware numerics evidence.
+# VVC_FETCH lever selects entirely different gather code paths.  Every
+# shipped default combination must land with hardware numerics
+# evidence.
 
 _GOLDEN_CACHE: dict = {}
 
@@ -132,15 +132,8 @@ def test_bit_exact_default_levers_on_tpu(tpu_backend, res, filtered):
         f"{w}x{h} filtered={filtered}: {int(mism.sum())} TPU mismatches")
 
 
-@pytest.mark.parametrize("fetch,emit", [
-    ("none", "0"),   # pure-XLA gathers + lattice-emit/reorder
-    ("none", "1"),   # CTU-direct emission alone
-    ("both", "0"),   # fetch_rows alone
-    ("both", "1"),   # shipped round-2 default
-    ("left", "1"),
-    ("orig", "1"),
-])
-def test_bit_exact_lever_matrix_on_tpu(tpu_backend, tmp_path, fetch, emit):
+@pytest.mark.parametrize("fetch", ["none", "both", "left", "orig"])
+def test_bit_exact_lever_matrix_on_tpu(tpu_backend, tmp_path, fetch):
     """Every lever combination, 416x240 max-performance, in a SUBPROCESS
     (the levers are env-snapshotted at import; in-process monkeypatching
     could silently reuse jit caches traced under the other setting)."""
@@ -149,7 +142,7 @@ def test_bit_exact_lever_matrix_on_tpu(tpu_backend, tmp_path, fetch, emit):
     import sys
 
     frame, e, valid = _golden_msh(416, 240, False)
-    out = tmp_path / f"msh_{fetch}_{emit}.npy"
+    out = tmp_path / f"msh_{fetch}.npy"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = (
         "import numpy as np\n"
@@ -161,7 +154,7 @@ def test_bit_exact_lever_matrix_on_tpu(tpu_backend, tmp_path, fetch, emit):
         "got = eng(frame)\n"
         "np.save(sys.argv[1], np.asarray(got.min_sad_had, np.int64))\n"
     )
-    env = dict(os.environ, VVC_FETCH=fetch, VVC_CTU_EMIT=emit,
+    env = dict(os.environ, VVC_FETCH=fetch,
                PYTHONPATH=repo + os.pathsep + os.environ.get(
                    "PYTHONPATH", ""))
     env.pop("VVC_MIP_PLATFORM", None)  # run on the real backend
@@ -172,4 +165,4 @@ def test_bit_exact_lever_matrix_on_tpu(tpu_backend, tmp_path, fetch, emit):
     a = np.load(out)
     mism = (e.reshape(a.shape) != a) & valid.reshape(a.shape)
     assert not mism.any(), (
-        f"fetch={fetch} emit={emit}: {int(mism.sum())} TPU mismatches")
+        f"fetch={fetch}: {int(mism.sum())} TPU mismatches")

@@ -1,9 +1,8 @@
-"""Summarize a tools/tpu_batch_r2.sh log into one A/B decision table.
+"""Summarize a tools/tpu_batch_r{2,3}.sh log into one A/B decision table.
 
-Usage: python tools/parse_tpu_batch.py /tmp/tpu_batch.log
+Usage: python tools/parse_tpu_batch.py /tmp/tpu_batch_r3.log
 
-Reads the `== e2e-max VVC_FETCH=.. VVC_CTU_EMIT=..` / `== bench ..`
-section markers the batch script writes and pairs each with the
+Reads the `== e2e-max VVC_FETCH=..` / `== bench ..` section markers the batch script writes and pairs each with the
 measurement line that follows (profile_stages prints `... ms`, bench
 prints a JSON line), then prints ranked tables so the winning lever
 combo — the one the engine defaults should be flipped to — is obvious.
@@ -26,7 +25,8 @@ def main(path: str) -> None:
     pending: str | None = None
 
     for ln in lines:
-        m = re.match(r"== (e2e-max|bench) ((?:VVC_FETCH=\S+ VVC_CTU_EMIT=\S+"
+        m = re.match(r"== (e2e-max|bench) ((?:VVC_FETCH=\S+"
+                     r"(?: VVC_CTU_EMIT=\S+)?"
                      r"|VVC_SID0_LIMBS=\S+(?: VVC_SID1_LIMBS=\S+)?))", ln)
         if m:
             pending = f"{m.group(1)}|{m.group(2)}"

@@ -347,38 +347,7 @@ def main():
               f"2M={two_m:2d} tile={tile:4d}: {ms:7.2f} ms "
               f"(floor {floor:5.2f}, x{ms / floor:4.1f})", end="")
 
-        # CTU-direct emission variant, per group (the engine's
-        # VVC_CTU_EMIT=1 path) — comparable per-class number.
-        from vvc_mip_gpu_tpu.models.cost_engine import _ctu_T
-        gslices, goff = [], 0
-        for gp in cplan.groups:
-            n = gp.n_rows * gp.n_cols
-            t = _ctu_T(gp)
-            if t is not None:
-                gslices.append((goff, n, t, gp))
-            goff += n
-        if gslices and goff == n_cu:
-            def body_ctu(o, _args=args, _h=h, _w=w, _r=r, _two_m=two_m,
-                         _so="xmajor4" if sid1 else "raster",
-                         _gs=tuple(gslices)):
-                outs = []
-                for off, n, t, gp in _gs:
-                    outs.append(upsample_distortion(
-                        None, o[:, off:off + n],
-                        _args[1][:, off:off + n],
-                        _args[2][:, off:off + n],
-                        h=_h, w=_w, r=_r, inputs_permuted=True,
-                        mat=_args[3], two_m=_two_m, emit="msh_t",
-                        sample_order=_so, reft_permuted=True,
-                        ctu_layout=(gp.ctu_rows, gp.ctu_cols,
-                                    gp.cu_rows, gp.cu_cols, t)))
-                return outs
-
-            cms = device_ms(body_ctu, args[0])
-            ng = len(gslices)
-            print(f"  ctu_emit({ng}g): {cms:7.2f} ms")
-        else:
-            print("  ctu_emit: n/a")
+        print()
     print(f"stage B (pallas pred+distortion, sum): {b_total:8.2f} ms")
 
 

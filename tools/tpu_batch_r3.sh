@@ -1,11 +1,9 @@
 #!/bin/bash
-# Round-3 TPU measurement batch (trimmed from tpu_batch_r2.sh):
-# the 416x240 bit-exact smoke already passed this session, and the
-# VVC_CTU_EMIT dimension collapsed — CTU-direct emission is Mosaic-legal
-# only when T*cu_cols % 128 == 0, which no standard resolution satisfies
-# (see models/cost_engine.py:_ctu_T), so emit=1 now falls back to
-# lattice emit and measures identical to emit=0.  One emit=1 sanity run
-# stays to prove the fallback engages cleanly on hardware.
+# Round-3 TPU measurement batch (trimmed from tpu_batch_r2.sh): the
+# VVC_CTU_EMIT dimension was retired outright — Mosaic's output-block
+# granularity makes CTU-direct emission illegal for every real CU
+# geometry (see ops/pallas/distortion.py:_emit_costs) — leaving the
+# VVC_FETCH and limb-source levers.
 # Ordered highest-value-first in case the relay window is short.
 # Usage: bash tools/tpu_batch_r3.sh /tmp/tpu_batch_r3.log
 set -u
@@ -20,18 +18,13 @@ log "probe $(date -u +%H:%M:%S)"
 timeout -k 10 120 python -c "import jax; print(jax.devices())" \
     >> "$LOG" 2>&1 || { log "RELAY DOWN"; exit 1; }
 
-# fetch_rows role A/B (emit pinned 0 = lattice emit everywhere).
+# fetch_rows role A/B.
 for m in none left orig both; do
   log "e2e-max VVC_FETCH=$m $(date -u +%H:%M:%S)"
   VVC_FETCH=$m timeout 1800 python \
       tools/profile_stages.py --e2e-max --e2e-only 2>&1 \
       | grep -v WARNING | tail -1 >> "$LOG"
 done
-log "e2e-max VVC_CTU_EMIT=1 fallback sanity $(date -u +%H:%M:%S)"
-VVC_CTU_EMIT=1 timeout 1800 python \
-    tools/profile_stages.py --e2e-max --e2e-only 2>&1 \
-    | grep -v WARNING | tail -1 >> "$LOG"
-
 # SizeId0/1 limb-source A/B (the mode-on-sublanes classes'
 # roofline-gap candidate).
 for sl in xla kernel; do

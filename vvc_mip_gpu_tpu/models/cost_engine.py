@@ -66,22 +66,15 @@ _PALLAS_INTERPRET: bool = False
 # "orig" | "none"); an A/B lever for on-hardware profiling — the XLA
 # phase gathers are the fallback either way.
 #
-# DEFAULTS MATCH THE RECORDED MEASUREMENTS (r3): the round-2 partial
-# hardware batch (/tmp/tpu_batch1.log, Aug 17 11:41) measured the
-# shipped (both, 1) combination at 92.5 fps 1080p vs 114.2 fps for
-# (none, 0) under identical bench accounting (BENCH_r01) — a 19%
-# regression. Until the full per-lever A/B lands on hardware, defaults
-# stay on the measured winner; the round-2 kernels remain one env var
-# away.
+# DEFAULT MATCHES THE RECORDED MEASUREMENT (r3 full A/B, 1080p in-jit
+# e2e max-perf, /tmp/tpu_batch_r3.log): left 8.70 ms < orig 8.81 <
+# none 8.90 < both 8.96 — fetch_rows wins for the left-boundary role
+# only (its strided column reads are the one gather XLA does badly);
+# adding the originals role overshoots.
 import os as _os
 
-_FETCH_MODE: str = _os.environ.get("VVC_FETCH", "none")
+_FETCH_MODE: str = _os.environ.get("VVC_FETCH", "left")
 
-# CTU-direct kernel emission ("1"): wide groups' distortion kernels
-# scatter their cost tiles straight into the reference CTU layout via
-# the output BlockSpec (no XLA reorder pass, no per-class input concat);
-# "0" keeps the lattice-emit + reorder path everywhere (A/B lever).
-_CTU_EMIT: str = _os.environ.get("VVC_CTU_EMIT", "0")
 
 # SizeId0/1 limb-stack source: "kernel" builds the boundary-reduce +
 # limb split in-kernel per grid step (~40 single-sublane plane ops x
@@ -93,25 +86,6 @@ _CTU_EMIT: str = _os.environ.get("VVC_CTU_EMIT", "0")
 _SID0_LIMBS: str = _os.environ.get("VVC_SID0_LIMBS", "kernel")
 _SID1_LIMBS: str = _os.environ.get("VVC_SID1_LIMBS", "kernel")
 
-
-def _ctu_T(gp) -> int | None:
-    """CTUs-per-grid-step for the CTU-direct emission of this group, or
-    None where the lattice-emit path is better: the largest divisor T of
-    ctu_cols with tile = T*cu_cols lanes in [128, 1024].  Mosaic requires
-    the lane axis of every input block to be a multiple of 128 (or the
-    whole array), so tiles off that lattice are ILLEGAL, not just slow —
-    at 1080p (ctu_cols=15, all divisors odd) no group qualifies and the
-    engine falls back to lattice emit + reorder pass for all of them."""
-    best = None
-    for t in range(1, gp.ctu_cols + 1):
-        if gp.ctu_cols % t:
-            continue
-        tile = t * gp.cu_cols
-        if tile > 1024:
-            break
-        if tile % 128 == 0:
-            best = t
-    return best
 
 
 def _use_pallas() -> bool:
@@ -148,10 +122,12 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
     layout: {group_index: [nCTU, n*2M] minSadHad} with
     ``max_performance``, else {group_index: (sad, satd)} pairs.
 
-    On TPU, wide groups (see _ctu_T) emit the CTU layout DIRECTLY from
-    the kernel's output BlockSpec (no input concat, no reorder pass);
-    the rest are concatenated into one lattice-order kernel call whose
-    mode-minor output is reordered by a mid-axis-only XLA transpose.
+    On TPU, all groups are concatenated into one lattice-order kernel
+    call per class whose mode-minor output is reordered to the CTU
+    layout by a mid-axis-only XLA transpose (a CTU-direct output
+    BlockSpec was tried and retired — see ops/pallas/distortion.py
+    _emit_costs: Mosaic's block granularity makes it illegal, and the
+    reorder it would save measures ~free behind the kernels).
     The upsample+distortion stage runs as one fused Pallas kernel (no
     HBM intermediates) and the gathers run via the %4-major phase
     pipeline:
@@ -268,20 +244,7 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
                     _mod4_major as _m4)
 
                 rt = rt[np.asarray(_m4(w))]
-        t_ctus = (_ctu_T(gp)
-                  if use_pallas and _CTU_EMIT == "1" else None)
-        if t_ctus is not None:
-            # CTU-direct emission: this group's kernel call consumes its
-            # own gathered inputs (no class-wide concat) and its output
-            # BlockSpec scatters cost tiles straight into the reference
-            # CTU layout — both the concat and the reorder pass vanish.
-            out[gp.group_index] = upsample_distortion(
-                None, og, rt, rl,
-                ctu_layout=(gp.ctu_rows, gp.ctu_cols,
-                            gp.cu_rows, gp.cu_cols, t_ctus),
-                limbs=_sid0_limbs(rt, rl), **kernel_kw)
-        else:
-            pending.append((gp, rt, rl, og))
+        pending.append((gp, rt, rl, og))
     if not pending:
         return out
     gps = [p[0] for p in pending]

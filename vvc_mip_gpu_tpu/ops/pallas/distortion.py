@@ -162,33 +162,18 @@ def _grouped_unrolled(h: int, w: int, two_m: int, fused: bool,
     return two_m <= 4 or h * w <= 64
 
 
-def _emit_costs(refs, sad, satd, emit: str, ctu=None):
+def _emit_costs(refs, sad, satd, emit: str):
     """Write [2M, tile] sad/satd values to the output refs per ``emit``:
     plain rows, mode-minor transposed rows ("sad_satd_t"), or a single
     mode-minor min(2*SAD, SATD) ("msh_t").
 
-    ``ctu=(T, cu_cols)``: the tile is one lattice row of T CTUs' worth of
-    CUs and the output block is (T, 1, cu_cols*2M) of the CTU-layout
-    tensor [nCTU, cu_rows, cu_cols*2M] — the lattice->CTU-layout reorder
-    is realized entirely by the output BlockSpec index map (the DMA
-    scatters each CTU's row run to its slab), so the engine-side XLA
-    reorder pass disappears (reference layout: intra.cl:1144-1148)."""
-    if ctu is not None:
-        t_ctus, cu_cols = ctu
-
-        def _re(x):  # [2M, T*cu_cols] -> (T, 1, cu_cols*2M) cu-major
-            two_m = x.shape[0]
-            t = jnp.transpose(x, (1, 0))
-            return t.reshape(t_ctus, 1, cu_cols * two_m)
-
-        if emit == "msh_t":
-            (msh_ref,) = refs
-            msh_ref[...] = _re(jnp.minimum(2 * sad, satd))
-        else:
-            sad_ref, satd_ref = refs
-            sad_ref[...] = _re(sad)
-            satd_ref[...] = _re(satd)
-        return
+    Outputs stay in LATTICE order; the engine's XLA reorder pass maps
+    them to the reference CTU layout (intra.cl:1144-1148).  A CTU-direct
+    output BlockSpec (scatter one lattice row x T CTUs per grid step)
+    was built and retired: Mosaic requires output blocks of >=8 sublanes
+    and 128-lane multiples, and a (T, 1, cu_cols*2M) cost tile satisfies
+    neither for any real CU geometry, while the measured cost of the
+    reorder it would save is ~0 (hidden behind the kernels)."""
     if emit == "msh_t":
         (msh_ref,) = refs
         msh_ref[...] = jnp.transpose(jnp.minimum(2 * sad, satd), (1, 0))
@@ -202,7 +187,7 @@ def _emit_costs(refs, sad, satd, emit: str, ctu=None):
         satd_ref[...] = satd
 
 
-def _kernel_sid0(*refs, two_m: int, emit: str, fused: bool, ctu=None,
+def _kernel_sid0(*refs, two_m: int, emit: str, fused: bool,
                  has_limbs: bool = False):
     """SizeId0 (4x4, no upsampling): the mode axis rides the SUBLANES.
 
@@ -248,7 +233,7 @@ def _kernel_sid0(*refs, two_m: int, emit: str, fused: bool, ctu=None,
             if ky == 0 and kx == 0:
                 dc = a
     satd = (acc - dc + (dc >> 2) + 1) >> 1
-    _emit_costs(rest, sad, satd, emit, ctu)
+    _emit_costs(rest, sad, satd, emit)
 
 
 def _satd4x4_planes(d):
@@ -270,7 +255,7 @@ def _satd4x4_planes(d):
 def _kernel_mode_minor(*refs, has_limbs: bool = False, h: int, w: int,
                        r: int, two_m: int,
                        emit: str, fused: bool,
-                       sample_order: str = "raster", ctu=None):
+                       sample_order: str = "raster"):
     """SizeId0/1 classes (r == 4): the mode axis rides the SUBLANES.
 
     pred arrives mode-minor [S, 2M, tile] in RASTER sample order; every
@@ -389,11 +374,11 @@ def _kernel_mode_minor(*refs, has_limbs: bool = False, h: int, w: int,
             sad = sad_b if sad is None else sad + sad_b
             satd = satd_b if satd is None else satd + satd_b
 
-    _emit_costs(rest, sad, satd, emit, ctu)
+    _emit_costs(rest, sad, satd, emit)
 
 
 def _kernel(*refs, h: int, w: int, r: int, two_m: int, emit: str,
-            fused: bool, ctu=None):
+            fused: bool):
     if fused:
         # refl_ref holds the FULL [h, tile] RASTER left boundary; reft_ref
         # arrives %4-permuted (its interpolation consumer wants that) and
@@ -548,18 +533,17 @@ def _kernel(*refs, h: int, w: int, r: int, two_m: int, emit: str,
     else:
         jax.lax.fori_loop(0, n_iter, body, 0)
     if emit != "sad_satd":
-        _emit_costs(out_refs, sad_ref[...], satd_ref[...], emit, ctu)
+        _emit_costs(out_refs, sad_ref[...], satd_ref[...], emit)
 
 @functools.partial(jax.jit, static_argnames=(
     "h", "w", "r", "cu_tile", "interpret", "inputs_permuted",
-    "pred_mode_minor", "emit", "two_m", "sample_order", "reft_permuted",
-    "ctu_layout"))
+    "pred_mode_minor", "emit", "two_m", "sample_order", "reft_permuted"))
 def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
                         cu_tile=None, interpret=False,
                         inputs_permuted=False, pred_mode_minor=False,
                         emit="sad_satd", mat=None, two_m=None,
                         sample_order="raster", reft_permuted=False,
-                        ctu_layout=None, limbs=None):
+                        limbs=None):
     """Fused upsample+SAD+SATD for one class.
 
     pred: [2M, R*R, nCU] int16 reduced predictions (raster sample order).
@@ -576,16 +560,8 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
     reference's MAX_PERFORMANCE_DIST regime, main_aux_functions.h:1,
     intra.cl:1122-1168: only minSadHad leaves the kernel).  Inputs are
     padded to the CU tile internally; outputs are sliced back to nCU.
-
-    ``ctu_layout=(ctu_rows, ctu_cols, cu_rows, cu_cols, T)``: the CU axis
-    is ONE group's full lattice in raster order (n = n_rows*n_cols,
-    n_rows = ctu_rows*cu_rows, n_cols = ctu_cols*cu_cols); the grid runs
-    one lattice row x T CTUs per step and the output BlockSpec scatters
-    each [T*cu_cols, 2M] row tile straight into the reference CTU layout
-    — the return value is [nCTU, cu_rows*cu_cols*2M] (mode-minor strided
-    slab rows, intra.cl:1144-1148) with NO engine-side reorder and NO CU
-    padding.  Requires the fused in-kernel prediction path and a
-    transposed emit mode.
+    Outputs are in the caller's lattice order (see _emit_costs for why a
+    CTU-direct output layout was retired).
     """
     sid0 = h == 4 and w == 4
     mode_minor = r == 4 and not sid0  # all SizeId1 classes
@@ -611,38 +587,16 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
     # smaller CU tiles outweigh the wider planes); only SizeId0 keeps the
     # mode-on-sublanes form, via its dedicated kernel.
     n_in = orig.shape[-1]
-    if ctu_layout is not None:
-        # CTU-direct emission: grid (col chunk SLOW, lattice row FAST);
-        # every step computes one lattice row x T CTUs and the out
-        # BlockSpec index map places it as CTU-slab rows.
-        assert fused, "ctu_layout requires the fused in-kernel pred path"
-        assert emit in ("msh_t", "sad_satd_t"), emit
-        ctu_r, ctu_c, cu_r, cu_c, t_ctus = ctu_layout
-        assert ctu_c % t_ctus == 0, (ctu_c, t_ctus)
-        assert n_in == ctu_r * cu_r * ctu_c * cu_c, (n_in, ctu_layout)
-        tile = t_ctus * cu_c
-        chunks = ctu_c // t_ctus
-        pad, n_cu = 0, n_in
-        grid = (chunks, ctu_r * cu_r)
-        ctu_k = (t_ctus, cu_c)
+    tile = cu_tile or default_cu_tile(h, w)
+    pad = (-n_in) % tile
+    n_cu = n_in + pad
+    grid = (n_cu // tile,)
 
-        def _idx(j, i):
-            return (0, i * chunks + j)
+    def _idx(i):
+        return (0, i)
 
-        def _zero(j, i):
-            return (0, 0)
-    else:
-        tile = cu_tile or default_cu_tile(h, w)
-        pad = (-n_in) % tile
-        n_cu = n_in + pad
-        grid = (n_cu // tile,)
-        ctu_k = None
-
-        def _idx(i):
-            return (0, i)
-
-        def _zero(i):
-            return (0, 0)
+    def _zero(i):
+        return (0, 0)
     if pad:
         orig, ref_t, refl_anchor = (
             jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
@@ -670,17 +624,7 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
                                    memory_space=pltpu.VMEM)]
 
     n_outs = 1 if emit == "msh_t" else 2
-    if ctu_k is not None:
-        lanes = cu_c * two_m
-
-        def _oidx(j, i):
-            return (i // cu_r * chunks + j, i % cu_r, 0)
-
-        out_specs = [pl.BlockSpec((t_ctus, 1, lanes), _oidx,
-                                  memory_space=pltpu.VMEM)] * n_outs
-        out_shape = [jax.ShapeDtypeStruct((ctu_r * ctu_c, cu_r, lanes),
-                                          jnp.int32)] * n_outs
-    elif emit == "sad_satd":
+    if emit == "sad_satd":
         out_specs = [pl.BlockSpec((two_m, tile), lambda i: (0, i),
                                   memory_space=pltpu.VMEM)] * 2
         out_shape = [jax.ShapeDtypeStruct((two_m, n_cu), jnp.int32)] * 2
@@ -691,10 +635,6 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
                                           jnp.int32)] * n_outs
 
     def _sliced(outs):
-        if ctu_k is not None:
-            res = tuple(o.reshape(ctu_r * ctu_c, cu_r * cu_c * two_m)
-                        for o in outs)
-            return res[0] if emit == "msh_t" else res
         if emit == "sad_satd":
             return outs[0][:, :n_in], outs[1][:, :n_in]
         if emit == "msh_t":
@@ -720,7 +660,7 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
             bnd_inputs = (ref_t, refl_anchor) if fused else ()
         outs = pl.pallas_call(
             functools.partial(_kernel_sid0, two_m=two_m, emit=emit,
-                              fused=fused, ctu=ctu_k,
+                              fused=fused,
                               has_limbs=limbs is not None),
             grid=grid,
             in_specs=pred_specs + [
@@ -750,7 +690,7 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
                                    has_limbs=limbs is not None,
                                    h=h, w=w, r=r,
                                    two_m=two_m, emit=emit, fused=fused,
-                                   sample_order=sample_order, ctu=ctu_k)
+                                   sample_order=sample_order)
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -783,7 +723,7 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
     if not reft_permuted:
         ref_t = ref_t[reft_perm, :]
     kernel = functools.partial(_kernel, h=h, w=w, r=r, two_m=two_m,
-                               emit=emit, fused=fused, ctu=ctu_k)
+                               emit=emit, fused=fused)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
