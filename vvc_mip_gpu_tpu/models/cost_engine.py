@@ -67,8 +67,8 @@ _PALLAS_INTERPRET: bool = False
 # phase gathers are the fallback either way.
 #
 # DEFAULT MATCHES THE RECORDED MEASUREMENT (r3 full A/B, 1080p in-jit
-# e2e max-perf, /tmp/tpu_batch_r3.log): left 8.70 ms < orig 8.81 <
-# none 8.90 < both 8.96 — fetch_rows wins for the left-boundary role
+# e2e max-perf, evidence/tpu_batch_r3.log): left 8.58 ms < none 8.82 <
+# orig 8.88 < both 8.92 — fetch_rows wins for the left-boundary role
 # only (its strided column reads are the one gather XLA does badly);
 # adding the originals role overshoots.
 import os as _os
