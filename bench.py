@@ -66,8 +66,12 @@ def _metric_from_argv() -> str:
         name += "_filtered"
     if "--window" in argv and "reference" in argv:
         name += "_refwindow"
+    elif "--window" in argv and "r1" in argv:
+        name += "_r1window"
     if "--with-export" in argv:
         name += "_with_export"
+    if "--latency" in argv:
+        return name + "_single_frame_latency_ms"
     return name + "_frames_per_second"
 
 
@@ -127,14 +131,24 @@ def main() -> None:
                         "dispatch — the reference runs its export inside "
                         "the processing loop (main_aux_functions.h:"
                         "735-798)")
-    p.add_argument("--window", choices=["compute", "reference"],
+    p.add_argument("--latency", action="store_true",
+                   help="Single-frame time-to-result through the "
+                        "class-sharded latency engine (--LatencyMode's "
+                        "engine; SURVEY §2.2's latency axis — the "
+                        "reference has no analog).  Reports wall-clock "
+                        "ms/frame with a dispatch/assemble/in-jit "
+                        "decomposition")
+    p.add_argument("--window", choices=["compute", "reference", "r1"],
                    default="compute",
                    help="'compute': steady-state dispatch window (the "
                         "headline). 'reference': the reference's "
                         "write->compute->read window — host->device frame "
                         "upload and the FULL cost-tensor readback are "
                         "inside the timed region "
-                        "(main_aux_functions.h:908-914)")
+                        "(main_aux_functions.h:908-914). 'r1': the "
+                        "round-1 window (host-dispatched batch jits, "
+                        "per-iteration scalar reads) kept so cross-round "
+                        "numbers can be reconciled (BASELINE.md)")
     args = p.parse_args()
     tag = "1080p" if args.resolution is None else args.resolution
     metric = f"mip_search_{tag}_frames_per_second"
@@ -142,6 +156,8 @@ def main() -> None:
         metric = f"mip_search_{tag}_filtered_frames_per_second"
     if args.window == "reference":
         metric = f"mip_search_{tag}_refwindow_frames_per_second"
+    elif args.window == "r1":
+        metric = f"mip_search_{tag}_r1window_frames_per_second"
     if args.resolution:
         w, h = args.resolution.lower().split("x")
         W, H = int(w), int(h)
@@ -181,6 +197,10 @@ def main() -> None:
         # tensor leaves the device, as in the reference's readDistortion
         return jax.vmap(one_frame)(fr)
 
+    if args.latency:
+        _bench_latency(tag)
+        return
+
     if args.with_export:
         # Compose onto the already-qualified name so --filtered /
         # --window reference runs stay distinguishable.
@@ -196,19 +216,71 @@ def main() -> None:
         # overlap the readback of batch i — which is the reference's own
         # BUFFER_SLOTS async-queue structure (main.cpp:886-898), not a
         # departure from its accounting: the window still spans first
-        # write to last read.
-        np.asarray(run_batch_full(jax.device_put(frames_np)))  # compile
+        # write to last read.  Samples upload as uint16 (the reference's
+        # own 2-byte unsigned short transfer, main.cpp:580).
+        frames_u16 = frames_np.astype(np.uint16)
+        np.asarray(run_batch_full(jax.device_put(frames_u16)))  # compile
         t0 = time.perf_counter()
         acc = 0
         prev = None
         for i in range(ITERS):
-            dev = jax.device_put(frames_np ^ (i + 1))   # write (async)
+            dev = jax.device_put(frames_u16 ^ (i + 1))  # write (async)
             out = run_batch_full(dev)                   # compute (async)
             if prev is not None:
                 acc += int(np.asarray(prev).any())      # full read
             prev = out
         acc += int(np.asarray(prev).any())
         assert acc == ITERS
+        dt = (time.perf_counter() - t0) / (ITERS * BATCH)
+        fps = 1.0 / dt
+        # Decomposition pass (unpipelined, one batch): where the window
+        # time goes — host->device upload, device compute, full cost
+        # readback — with bytes moved, so the recorded fps is explained
+        # by the measured link bandwidth rather than left bare (the r3
+        # 0.232 fps artifact had no decomposition; VERDICT.md item 5).
+        t1 = time.perf_counter()
+        dev = jax.device_put(frames_u16 ^ 99)
+        jax.block_until_ready(dev)
+        t2 = time.perf_counter()
+        out = run_batch_full(dev)
+        jax.block_until_ready(out)
+        t3 = time.perf_counter()
+        host = np.asarray(out)
+        t4 = time.perf_counter()
+        bytes_up = frames_u16.nbytes
+        bytes_read = host.nbytes
+        print(json.dumps({
+            "metric": metric,
+            "value": round(fps, 3),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / ASSUMED_BASELINE_FPS, 3),
+            "decomposition_per_batch": {
+                "upload_s": round(t2 - t1, 3),
+                "compute_s": round(t3 - t2, 3),
+                "read_s": round(t4 - t3, 3),
+                "upload_bytes": bytes_up,
+                "read_bytes": bytes_read,
+                "upload_mb_s": round(bytes_up / 1e6 / max(t2 - t1, 1e-9),
+                                     1),
+                "read_mb_s": round(bytes_read / 1e6 / max(t4 - t3, 1e-9),
+                                   1),
+            },
+        }))
+        return
+
+    if args.window == "r1":
+        # The round-1 bench window, verbatim semantics (git 9de20ef):
+        # ITERS host dispatches of the batch jit, per-iteration scalar
+        # sums read after all dispatches.  Kept runnable so the recorded
+        # r1 fps can be compared against current code under the SAME
+        # accounting (separates window-change from code regression).
+        int(run_batch(frames))  # compile + warm
+        for i in range(WARMUP):
+            int(run_batch(frames ^ (i + 1)))
+        t0 = time.perf_counter()
+        outs = [run_batch(frames ^ (WARMUP + i + 1)) for i in range(ITERS)]
+        checksum = sum(int(o) for o in outs)
+        assert checksum != 0
         dt = (time.perf_counter() - t0) / (ITERS * BATCH)
         fps = 1.0 / dt
         print(json.dumps({
@@ -262,47 +334,124 @@ def main() -> None:
     }))
 
 
+def _bench_latency(tag: str) -> None:
+    """Single-frame time-to-result (latency mode): wall-clock from a host
+    frame to assembled host costs via LatencyMipCostEngine, plus a
+    decomposition — dispatch (enqueue) vs assemble (readback) vs the
+    in-jit device compute (the relay's ~8-30 ms dispatch round-trip is a
+    harness artifact; the decomposition makes that visible instead of
+    folding it silently into the latency claim)."""
+    from vvc_mip_gpu_tpu.models.cost_engine import _compute
+    from vvc_mip_gpu_tpu.parallel.latency_engine import LatencyMipCostEngine
+
+    rng = np.random.default_rng(0)
+    frame_np = rng.integers(0, 1024, size=(H, W), dtype=np.int32)
+    eng = LatencyMipCostEngine(W, H, max_performance=True)
+    eng(frame_np)  # compile + warm
+    best_wall = best_disp = best_asm = float("inf")
+    for i in range(8):
+        fr = frame_np ^ (i + 1)
+        t0 = time.perf_counter()
+        outs = eng.dispatch(fr)
+        t1 = time.perf_counter()
+        costs = eng.assemble(outs)
+        t2 = time.perf_counter()
+        assert costs.min_sad_had.size
+        best_wall = min(best_wall, t2 - t0)
+        best_disp = min(best_disp, t1 - t0)
+        best_asm = min(best_asm, t2 - t1)
+
+    # In-jit device compute (profile_stages methodology: K in-jit reps,
+    # scalar-readback sync, minus a trivial-dispatch baseline).
+    k = 16
+
+    @jax.jit
+    def run(x):
+        def it(i, acc):
+            msh = _compute(x ^ i, x ^ i, width=W, height=H,
+                           max_performance=True).min_sad_had
+            return acc + msh.ravel()[-1]
+        return jax.lax.fori_loop(0, k, it, jnp.int32(0))
+
+    dev = jax.device_put(jnp.asarray(frame_np))
+    int(run(dev).ravel()[-1])  # compile
+    t_loop = min(_timed(lambda: int(run(dev ^ (j + 2)).ravel()[-1]))
+                 for j in range(4))
+    triv = jax.jit(lambda v: v + 1)
+    x0 = jnp.int32(3)
+    int(triv(x0))
+    t_base = min(_timed(lambda: int(triv(x0 + j))) for j in range(8))
+    in_jit_ms = (t_loop - t_base) / k * 1e3
+
+    wall_ms = best_wall * 1e3
+    ref_latency_ms = 1e3 / ASSUMED_BASELINE_FPS
+    print(json.dumps({
+        "metric": f"mip_search_{tag}_single_frame_latency_ms",
+        "value": round(wall_ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(ref_latency_ms / wall_ms, 3),
+        "decomposition": {
+            "dispatch_ms": round(best_disp * 1e3, 2),
+            "assemble_ms": round(best_asm * 1e3, 2),
+            "in_jit_compute_ms": round(in_jit_ms, 2),
+            "n_devices": len(jax.local_devices()),
+        },
+    }))
+
+
+def _timed(thunk) -> float:
+    t0 = time.perf_counter()
+    thunk()
+    return time.perf_counter() - t0
+
+
 def _bench_with_export(one_frame, frames_np, metric: str) -> None:
-    """Steady-state fps with the decisions-CSV export IN the loop: each
-    chunk's export (host-side native writer) overlaps the next chunk's
-    device dispatch, mirroring the CLI's double-buffered drain.  Fewer
-    iterations than the compute window — each 1080p frame writes a
-    ~600 MB CSV."""
+    """Steady-state fps with the decisions-CSV export inside the window,
+    scoped the way the reference scopes it: the run processes all its
+    frames, then writes ONE decisions log (the reference exports a single
+    CSV per run after its frame loop — main.cpp:1264-1269,
+    main_aux_functions.h:735-798; it never writes one per frame).  The r3
+    design wrote a ~600 MB CSV per frame per iteration (24 files) and hit
+    the batch timeout — that measured a workload the reference does not
+    have.  The JSON carries the export's own time and MB/s so the gap vs
+    compute-only is explained, not bare."""
     import os
     import shutil
     import tempfile
 
     from vvc_mip_gpu_tpu.io import export as dexport
 
-    from vvc_mip_gpu_tpu.utils.pipeline import pipelined
-
-    iters = 3
     frames = jax.device_put(jnp.asarray(frames_np))
     run_batch_msh = jax.jit(lambda fr: jax.vmap(one_frame)(fr))
     np.asarray(run_batch_msh(frames))  # compile + warm
     outdir = tempfile.mkdtemp(prefix="benchx_")
     try:
         t0 = time.perf_counter()
-
-        def drain(i, dev):
-            msh = np.asarray(dev)
-            for b in range(msh.shape[0]):
-                dexport.export_decisions_csv(
-                    os.path.join(outdir, f"dec_{i}_{b}.csv"), msh[b], W)
-
-        pipelined(range(iters),
-                  lambda i: run_batch_msh(frames ^ (i + 1)), drain)
-        dt = (time.perf_counter() - t0) / (iters * BATCH)
-        n_csv = len(os.listdir(outdir))
-        assert n_csv == iters * BATCH, f"{n_csv} CSVs != {iters * BATCH}"
+        last = None
+        for i in range(ITERS):
+            last = run_batch_msh(frames ^ (i + 1))  # async dispatch
+        msh = np.asarray(last)                      # drain + readback
+        t1 = time.perf_counter()
+        path = os.path.join(outdir, "decisions.csv")
+        dexport.export_decisions_csv(path, msh[-1], W)
+        csv_bytes = os.path.getsize(path)
+        t2 = time.perf_counter()
     finally:
         shutil.rmtree(outdir, ignore_errors=True)
-    fps = 1.0 / dt
+    n_frames = ITERS * BATCH
+    fps = n_frames / (t2 - t0)
     print(json.dumps({
         "metric": metric,
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / ASSUMED_BASELINE_FPS, 3),
+        "export": {
+            "compute_and_read_s": round(t1 - t0, 3),
+            "export_s": round(t2 - t1, 3),
+            "csv_bytes": csv_bytes,
+            "export_mb_s": round(csv_bytes / 1e6 / max(t2 - t1, 1e-9), 1),
+            "frames": n_frames,
+        },
     }))
 
 

@@ -16,7 +16,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 @pytest.mark.parametrize("extra", [
     [],
     ["--window", "reference"],
+    ["--window", "r1"],
     ["--with-export"],
+    ["--latency"],
 ])
 def test_bench_emits_one_json_line(extra):
     env = dict(os.environ, VVC_MIP_PLATFORM="cpu",
@@ -32,6 +34,6 @@ def test_bench_emits_one_json_line(extra):
     assert len(json_lines) == 1, r.stdout
     rec = json.loads(json_lines[0])
     assert set(rec) >= {"metric", "value", "unit", "vs_baseline"}
-    assert rec["unit"] == "frames/s"
+    assert rec["unit"] == ("ms" if "--latency" in extra else "frames/s")
     assert rec["value"] and rec["value"] > 0
     assert "error" not in rec
