@@ -94,6 +94,25 @@ def main():
             frame)
         print(f"end-to-end single frame (max-perf): {e2e:8.2f} ms",
               flush=True)
+    if "--e2e-max-noreorder" in sys.argv:
+        # Diagnostic: how much of the e2e the lattice->CTU cost reorder
+        # really costs IN CONTEXT (the isolates overstate).  Replaces the
+        # mode-minor reorder with a layout-wrong but byte-identical
+        # reshape; costs are unusable, timing is the point.
+        from vvc_mip_gpu_tpu.ops import geometry as geom
+
+        def _no_reorder(self, costs_t):
+            n = self.ctu_rows * self.ctu_cols
+            return costs_t.reshape(n, -1)
+
+        geom.GroupPlan.lattice_costs_to_ctu_mode_minor = _no_reorder
+        e2e = device_ms(
+            lambda fr: _compute(fr, fr, width=W, height=H,
+                                max_performance=True).min_sad_had,
+            frame)
+        print(f"end-to-end single frame (max-perf, NO reorder): "
+              f"{e2e:8.2f} ms", flush=True)
+        return
     if "--e2e-only" in sys.argv:
         return
 

@@ -287,11 +287,25 @@ def gather_left_phase4(f4_ref, plan: GroupPlan):
 def left_fixups4(ref_l, f4_ref, plan: GroupPlan, is_top):
     """VVC frame-left/corner edge rules on a raw [h, nCU] left-boundary
     tensor (reference: intra.cl:232-243): frame-left CUs take the sample
-    above the CU (via the halo row), DC at the frame corner."""
+    above the CU (via the halo row), DC at the frame corner.
+
+    The pad rows (slab rows ``ys`` at frame column 0) come from a
+    STRIDED SLICE of the slab's column 0 when the lattice is uniform —
+    a take-gather here measured ~0.65 ms of hidden relayout per 4-wide
+    group once fused with the select (evidence/tpu_tune_r4a.log:
+    rl+fix 0.76 ms vs 0.12 with the slice); the interleaved-lattice
+    groups keep the take fallback."""
     n_cols = plan.n_cols
+    col0 = f4_ref[0, :, 0]  # slab column 0, [R]
+    if plan.y_prog is not None:
+        o, st = plan.y_prog
+        n = plan.n_rows
+        rows = jax.lax.slice(col0, (o,), (o + (n - 1) * st + 1,), (st,))
+    else:
+        rows = jnp.take(col0, np.asarray(plan.ys), axis=0)
     pad_rows = jnp.where(
         jnp.logical_and(jnp.asarray(plan.ys == 0), is_top),
-        VALUE_DC, f4_ref[0, np.asarray(plan.ys), 0])  # frame col 0
+        jnp.asarray(VALUE_DC, col0.dtype), rows)
     pad_l = jnp.repeat(pad_rows, n_cols)
     fix_l = jnp.asarray(np.tile(plan.xs == 0, plan.n_rows))
     return jnp.where(fix_l[None, :], pad_l[None, :], ref_l)

@@ -378,7 +378,7 @@ def _kernel_mode_minor(*refs, has_limbs: bool = False, h: int, w: int,
 
 
 def _kernel(*refs, h: int, w: int, r: int, two_m: int, emit: str,
-            fused: bool):
+            fused: bool, unroll: int = 0):
     if fused:
         # refl_ref holds the FULL [h, tile] RASTER left boundary; reft_ref
         # arrives %4-permuted (its interpolation consumer wants that) and
@@ -389,7 +389,11 @@ def _kernel(*refs, h: int, w: int, r: int, two_m: int, emit: str,
         x = _build_limbs(reft_ref, refl_ref, w, h, 4, dc_row0=False,
                          t_order=inv_t)
         predv = _fused_pred(mat_ref, x)  # rows (m, s)
-        if _grouped_unrolled(h, w, two_m, fused, orig_ref.shape[-1]):
+        if unroll >= two_m or (
+                not unroll
+                and _grouped_unrolled(h, w, two_m, fused,
+                                      orig_ref.shape[-1])):
+            unroll = two_m
             # Unrolled mode loop: per-mode predictions are static row
             # slices of the dot result — no staging needed.
             def load_pred(m):
@@ -410,6 +414,10 @@ def _kernel(*refs, h: int, w: int, r: int, two_m: int, emit: str,
         def load_pred(m):
             return pred_ref[pl.ds(m, 1)].astype(jnp.int32).reshape(
                 r, r, pred_ref.shape[-1])
+    if not unroll:
+        unroll = (two_m if _grouped_unrolled(h, w, two_m, fused,
+                                             orig_ref.shape[-1])
+                  else 1)
     if emit == "sad_satd":
         sad_ref, satd_ref = rest
     else:
@@ -432,7 +440,6 @@ def _kernel(*refs, h: int, w: int, r: int, two_m: int, emit: str,
     up_h = w // r
     up_v = h // r
     c = orig_ref.shape[-1]
-    unrolled = _grouped_unrolled(h, w, two_m, fused, c)
     # orig rows arrive y%4-grouped, columns x%4-grouped
     og4 = orig_ref[...].astype(jnp.int32).reshape(4, h // 4, w, c)
     up_v_ = h // r
@@ -524,26 +531,39 @@ def _kernel(*refs, h: int, w: int, r: int, two_m: int, emit: str,
             bsatd.sum((0, 1), dtype=jnp.int32).reshape(1, c))
         return 0
 
-    body, n_iter = mode_body, two_m  # (4x4 routes to _kernel_sid0 instead)
-    if unrolled:
-        # Unroll statically: bigger Mosaic basic blocks, no loop
-        # overhead, and (fused) static value slices of the prediction.
-        for m in range(n_iter):
-            body(m, 0)
+    # (4x4 routes to _kernel_sid0 instead.)  ``unroll`` = modes per loop
+    # iteration: two_m is a full static unroll (bigger Mosaic basic
+    # blocks, static prediction slices when fused); 2-4 keeps the loop
+    # but interleaves INDEPENDENT mode bodies inside one iteration so the
+    # VPU's multi-issue has parallel work (a single mode body is one long
+    # dependency chain — measured ~1 vreg-op/cycle on the big classes).
+    if unroll >= two_m:
+        for m in range(two_m):
+            mode_body(m, 0)
+    elif unroll == 1:
+        jax.lax.fori_loop(0, two_m, mode_body, 0)
     else:
-        jax.lax.fori_loop(0, n_iter, body, 0)
+        assert two_m % unroll == 0, (two_m, unroll)
+
+        def chunk_body(i, _):
+            for j in range(unroll):
+                mode_body(i * unroll + j, 0)
+            return 0
+
+        jax.lax.fori_loop(0, two_m // unroll, chunk_body, 0)
     if emit != "sad_satd":
         _emit_costs(out_refs, sad_ref[...], satd_ref[...], emit)
 
 @functools.partial(jax.jit, static_argnames=(
     "h", "w", "r", "cu_tile", "interpret", "inputs_permuted",
-    "pred_mode_minor", "emit", "two_m", "sample_order", "reft_permuted"))
+    "pred_mode_minor", "emit", "two_m", "sample_order", "reft_permuted",
+    "unroll"))
 def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
                         cu_tile=None, interpret=False,
                         inputs_permuted=False, pred_mode_minor=False,
                         emit="sad_satd", mat=None, two_m=None,
                         sample_order="raster", reft_permuted=False,
-                        limbs=None):
+                        limbs=None, unroll=0):
     """Fused upsample+SAD+SATD for one class.
 
     pred: [2M, R*R, nCU] int16 reduced predictions (raster sample order).
@@ -723,7 +743,9 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
     if not reft_permuted:
         ref_t = ref_t[reft_perm, :]
     kernel = functools.partial(_kernel, h=h, w=w, r=r, two_m=two_m,
-                               emit=emit, fused=fused)
+                               emit=emit, fused=fused, unroll=unroll)
+    eff_unroll = unroll or (
+        two_m if _grouped_unrolled(h, w, two_m, fused, tile) else 1)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -741,8 +763,7 @@ def upsample_distortion(pred, orig, ref_t, refl_anchor, *, h, w, r,
             ([pltpu.VMEM((two_m, tile), jnp.int32)] * 2
              if emit != "sad_satd" else [])
             + ([pltpu.VMEM((two_m * s, tile), jnp.int32)]
-               if fused and not _grouped_unrolled(h, w, two_m, fused,
-                                                  tile)
+               if fused and eff_unroll < two_m
                else [])),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
