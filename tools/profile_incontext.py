@@ -13,6 +13,8 @@ phase-split overcount should land near the measured e2e.
 Usage:
   python tools/profile_incontext.py            # only-class-i sweep + e2e
   python tools/profile_incontext.py --loo      # leave-one-out deltas too
+  python tools/profile_incontext.py --ablate   # e2e with orig/bnd gathers
+                                               # replaced by broadcasts
 """
 
 from __future__ import annotations
@@ -26,6 +28,7 @@ import jax.numpy as jnp
 
 import tools.profile_stages as ps
 from vvc_mip_gpu_tpu.models.cost_engine import _compute, compute_blocks
+from vvc_mip_gpu_tpu.ops import mip_ops_soa as soa
 from vvc_mip_gpu_tpu.ops.geometry import class_plans
 
 
@@ -45,10 +48,27 @@ def main() -> None:
                                    max_performance=True, classes=cls)
         return list(msh.values())
 
+    if "--class" in sys.argv:
+        # Single-class in-context measurement (for VVC_CU_TILES A/Bs).
+        want = sys.argv[sys.argv.index("--class") + 1]
+        ww, hh = (int(v) for v in want.split("x"))
+        i = next(i for i, cp in enumerate(plans)
+                 if cp.shape.width == ww and cp.shape.height == hh)
+        import os
+        ms = ps.device_ms(lambda fr: subset(fr, (i,)), frame)
+        print(f"only class {want} "
+              f"[VVC_CU_TILES={os.environ.get('VVC_CU_TILES', '')}]: "
+              f"{ms:6.2f} ms", flush=True)
+        return
+
     e2e = ps.device_ms(
         lambda fr: _compute(fr, fr, width=W, height=H,
                             max_performance=True).min_sad_had, frame)
     print(f"e2e (max-perf): {e2e:8.2f} ms", flush=True)
+
+    if "--ablate" in sys.argv:
+        _ablate(frame, e2e, W, H)
+        return
 
     total = 0.0
     per_class = []
@@ -71,6 +91,122 @@ def main() -> None:
             print(f"  without class {i:2d} {s.width:3d}x{s.height:<3d} "
                   f"sid{s.size_id}: {ms:6.2f} ms (delta "
                   f"{e2e - ms:+6.2f})", flush=True)
+
+
+def _ablate(frame, e2e: float, W: int, H: int) -> None:
+    """e2e with each gather family replaced by same-shape BROADCASTS of an
+    input-derived scalar (not foldable, not DCE-able; the Pallas inputs
+    still materialize, so only the relayout work is removed).  The delta
+    vs the true e2e is the family's real in-context cost — what the
+    pipeline would gain if that data movement were free."""
+    from vvc_mip_gpu_tpu.ops.pallas import gather as pg
+
+    def run(fr):
+        return _compute(fr, fr, width=W, height=H,
+                        max_performance=True).min_sad_had
+
+    orig_o4 = soa.gather_originals_phase4
+    orig_og = soa.gather_originals
+
+    def dummy_o4(f4, plan, row_perm=None, order="yx"):
+        n = plan.n_rows * plan.n_cols
+        return jnp.broadcast_to(f4[0, 0, 0],
+                                (plan.height * plan.width, n))
+
+    def dummy_og(frame_pad, plan, row_perm=None, col_perm=None,
+                 order="raster"):
+        n = plan.n_rows * plan.n_cols
+        return jnp.broadcast_to(frame_pad[0, 0],
+                                (plan.height * plan.width, n))
+
+    soa.gather_originals_phase4 = dummy_o4
+    soa.gather_originals = dummy_og
+    try:
+        ms = ps.device_ms(run, frame)
+        print(f"e2e, orig gathers -> broadcast: {ms:8.2f} ms "
+              f"(orig in-context cost {e2e - ms:+5.2f})", flush=True)
+    finally:
+        soa.gather_originals_phase4 = orig_o4
+        soa.gather_originals = orig_og
+
+    saved = (soa.gather_top_phase4, soa.gather_left_phase4,
+             soa.left_fixups4, soa.gather_boundaries, pg.fetch_rows)
+
+    def dummy_top(f4, plan, is_top, t_mod4=True):
+        n = plan.n_rows * plan.n_cols
+        return jnp.broadcast_to(f4[0, 0, 0], (plan.width, n))
+
+    def dummy_left(f4, plan):
+        n = plan.n_rows * plan.n_cols
+        return jnp.broadcast_to(f4[0, 0, 0], (plan.height, n))
+
+    def dummy_fix(ref_l, f4, plan, is_top):
+        return ref_l
+
+    def dummy_bnd(ref_pad, plan, is_top):
+        n = plan.n_rows * plan.n_cols
+        return (jnp.broadcast_to(ref_pad[0, 0], (plan.width, n)),
+                jnp.broadcast_to(ref_pad[0, 0], (plan.height, n)))
+
+    def dummy_fetch(f4, *, runs, oy, sy, h, n_r, c_log, interpret=False):
+        p = sum(ln for _, ln in runs)
+        return jnp.broadcast_to(f4[0, 0, 0], (p * h, n_r * c_log))
+
+    soa.gather_top_phase4 = dummy_top
+    soa.gather_left_phase4 = dummy_left
+    soa.left_fixups4 = dummy_fix
+    soa.gather_boundaries = dummy_bnd
+    pg.fetch_rows = dummy_fetch
+    try:
+        ms = ps.device_ms(run, frame)
+        print(f"e2e, boundary gathers -> broadcast: {ms:8.2f} ms "
+              f"(bnd in-context cost {e2e - ms:+5.2f})", flush=True)
+    finally:
+        (soa.gather_top_phase4, soa.gather_left_phase4, soa.left_fixups4,
+         soa.gather_boundaries, pg.fetch_rows) = saved
+
+    # Both families at once (the residue is splits + kernels + reorder +
+    # assembly).
+    soa.gather_originals_phase4 = dummy_o4
+    soa.gather_originals = dummy_og
+    soa.gather_top_phase4 = dummy_top
+    soa.gather_left_phase4 = dummy_left
+    soa.left_fixups4 = dummy_fix
+    soa.gather_boundaries = dummy_bnd
+    pg.fetch_rows = dummy_fetch
+    try:
+        ms = ps.device_ms(run, frame)
+        print(f"e2e, ALL gathers -> broadcast: {ms:8.2f} ms "
+              f"(gathers in-context cost {e2e - ms:+5.2f})", flush=True)
+    finally:
+        soa.gather_originals_phase4 = orig_o4
+        soa.gather_originals = orig_og
+        (soa.gather_top_phase4, soa.gather_left_phase4, soa.left_fixups4,
+         soa.gather_boundaries, pg.fetch_rows) = saved
+
+    # Phase splits -> broadcast (keeps gathers, removes the per-stride
+    # frame relayouts).
+    import vvc_mip_gpu_tpu.models.cost_engine as ce
+
+    split0 = soa.phase_split4
+
+    def dummy_split(a, stride, pad_lanes=False, pad_rows=0):
+        f = split0(a[:1, :stride], stride)
+        out = jnp.broadcast_to(
+            a[0, 0], (stride, a.shape[0] + pad_rows,
+                      a.shape[1] // stride)).astype(f.dtype)
+        if pad_lanes:
+            pc = (-out.shape[2]) % 128
+            out = jnp.pad(out, ((0, 0), (0, 0), (0, pc)))
+        return out
+
+    soa.phase_split4 = dummy_split
+    try:
+        ms = ps.device_ms(run, frame)
+        print(f"e2e, phase splits -> broadcast: {ms:8.2f} ms "
+              f"(splits in-context cost {e2e - ms:+5.2f})", flush=True)
+    finally:
+        soa.phase_split4 = split0
 
 
 if __name__ == "__main__":

@@ -253,10 +253,13 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
     orig = jnp.concatenate([p[3] for p in pending], axis=-1)  # [h*w, nCU]
 
     if use_pallas:
-        tile = (default_cu_tile(h, w) if mode_minor
-                else fused_cu_tile(h, w, two_m))
+        from vvc_mip_gpu_tpu.ops.pallas.distortion import class_tile_unroll
+
+        tile_ov, unroll = class_tile_unroll(h, w)
+        tile = tile_ov or (default_cu_tile(h, w) if mode_minor
+                           else fused_cu_tile(h, w, two_m))
         costs = upsample_distortion(None, orig, ref_t, ref_l,
-                                    cu_tile=tile,
+                                    cu_tile=tile, unroll=unroll,
                                     limbs=_sid0_limbs(ref_t, ref_l),
                                     **kernel_kw)
     else:

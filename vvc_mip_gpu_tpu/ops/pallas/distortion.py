@@ -35,6 +35,26 @@ def _round_down_pow2(x: int) -> int:
     return 1 << (x.bit_length() - 1)
 
 
+def class_tile_unroll(h: int, w: int) -> tuple[int | None, int]:
+    """Per-class (cu_tile, unroll) override from the VVC_CU_TILES env
+    lever ("WxH:TILEuU,..." e.g. "16x8:1024u2,4x4:2048u0"; tile/unroll
+    of 0 mean 'default').  A hardware-tuning A/B hook (tools/
+    tune_kernels.py sweeps variants; measured winners get baked into
+    default_cu_tile / fused_cu_tile), not a user-facing knob."""
+    import os
+
+    for tok in os.environ.get("VVC_CU_TILES", "").split(","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        key, _, val = tok.partition(":")
+        kw, _, kh = key.partition("x")
+        if int(kw) == w and int(kh) == h:
+            t, _, u = val.partition("u")
+            return (int(t) or None), int(u or 0)
+    return None, 0
+
+
 def default_cu_tile(h: int, w: int) -> int:
     """Pick the CU-tile width so the per-tile working set fits VMEM."""
     budget = 1 << 20  # ~1 MB for the largest [h, w, tile] int16 temp
