@@ -30,7 +30,12 @@ def test_partition_covers_all_classes():
     assert max(loads) <= 1.45 * sum(w) / 8
 
 
-@pytest.mark.parametrize("n_dev,max_perf", [(8, True), (3, False)])
+# Each engine construction compiles all 17 class pipelines; the default
+# gate keeps the production (8-device max-perf) case, tiers the rest.
+@pytest.mark.parametrize("n_dev,max_perf", [
+    (8, True),
+    pytest.param(3, False, marks=pytest.mark.heavy),
+])
 def test_latency_engine_bit_identity(n_dev, max_perf):
     w, h = 256, 192  # bottom CTU row partial
     frame = fio.synthetic_frames(1, w, h)[0].astype(np.int32)
@@ -48,6 +53,7 @@ def test_latency_engine_bit_identity(n_dev, max_perf):
         assert not mism.any(), f"{field}: {int(mism.sum())} mismatches"
 
 
+@pytest.mark.heavy
 def test_latency_engine_filtered_regime():
     from vvc_mip_gpu_tpu.ops.filters import filter_frames
 

@@ -20,6 +20,10 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Every test here boots N fresh worker processes through jax.distributed
+# (full jax import + mesh compile per worker) — minutes each on one core.
+pytestmark = pytest.mark.heavy
+
 
 def _free_port() -> int:
     s = socket.socket()

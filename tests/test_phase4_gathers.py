@@ -50,7 +50,12 @@ def test_phase_split4_semantics():
                 f4[soa.phase4_pos(p, s)], an[:, p::s])
 
 
-@pytest.mark.parametrize("use_pallas", [False, True])
+# The pallas variant runs fetch_rows in interpret mode over every
+# uniform group — minutes on one core; tiered heavy, XLA path is smoke.
+@pytest.mark.parametrize("use_pallas", [
+    False,
+    pytest.param(True, marks=pytest.mark.heavy),
+])
 def test_phase4_groups_match_raster(use_pallas):
     """Every uniform group: phase4 (ref_t, ref_l, orig) == the raster
     XLA gathers, modulo the documented static sample orders.  With

@@ -22,7 +22,14 @@ def single_costs():
     return [eng(f) for f in FRAMES]
 
 
-@pytest.mark.parametrize("n_data,n_space", [(2, 2), (1, 4), (2, 1)])
+# Each distinct mesh shape costs a full engine compile on the virtual
+# 8-device CPU mesh (minutes); the default gate keeps the production
+# (data x space) layout as smoke and tiers the rest as `heavy`.
+@pytest.mark.parametrize("n_data,n_space", [
+    (2, 2),
+    pytest.param(1, 4, marks=pytest.mark.heavy),
+    pytest.param(2, 1, marks=pytest.mark.heavy),
+])
 def test_sharded_matches_single(single_costs, n_data, n_space):
     if jax.device_count() < n_data * n_space:
         pytest.skip("not enough devices")
@@ -44,6 +51,7 @@ def test_sharded_matches_single(single_costs, n_data, n_space):
         np.testing.assert_array_equal(sv, valid)
 
 
+@pytest.mark.heavy
 def test_sharded_max_performance(single_costs):
     if jax.device_count() < 4:
         pytest.skip("not enough devices")
