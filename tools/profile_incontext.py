@@ -15,6 +15,13 @@ Usage:
   python tools/profile_incontext.py --loo      # leave-one-out deltas too
   python tools/profile_incontext.py --ablate   # e2e with orig/bnd gathers
                                                # replaced by broadcasts
+  python tools/profile_incontext.py --batch N  # vmapped N-frame pipeline,
+                                               # per-frame ms (grid-batching
+                                               # amortization: vmap of
+                                               # pallas_call prepends a grid
+                                               # axis, so per-launch fixed
+                                               # cost is paid once per class
+                                               # per BATCH, not per frame)
 """
 
 from __future__ import annotations
@@ -47,6 +54,26 @@ def main() -> None:
         _, _, msh = compute_blocks(fr, fr, fr[0], True, W, H,
                                    max_performance=True, classes=cls)
         return list(msh.values())
+
+    if "--batch" in sys.argv:
+        # Per-frame ms of the vmapped B-frame pipeline (the CLI's
+        # compute_batch path).  Compared against the single-frame e2e,
+        # the delta is exactly the per-launch/per-dispatch fixed cost
+        # the small-CU classes pay 17x per frame (VERDICT r4 item 1's
+        # 'batch multiple frames into one kernel grid').
+        b = int(sys.argv[sys.argv.index("--batch") + 1])
+        frames_b = jax.device_put(jnp.asarray(
+            rng.integers(0, 1024, size=(b, H, W), dtype=np.int32)))
+
+        def run_b(fr):
+            return jax.vmap(
+                lambda x: _compute(x, x, width=W, height=H,
+                                   max_performance=True).min_sad_had)(fr)
+
+        ms = ps.device_ms(run_b, frames_b)
+        print(f"e2e vmapped batch {b} (max-perf): {ms:8.2f} ms "
+              f"= {ms / b:6.2f} ms/frame", flush=True)
+        return
 
     if "--class" in sys.argv:
         # Single-class in-context measurement (for VVC_CU_TILES A/Bs).
