@@ -60,10 +60,23 @@ def main() -> None:
         # compute_batch path).  Compared against the single-frame e2e,
         # the delta is exactly the per-launch/per-dispatch fixed cost
         # the small-CU classes pay 17x per frame (VERDICT r4 item 1's
-        # 'batch multiple frames into one kernel grid').
+        # 'batch multiple frames into one kernel grid').  With --class,
+        # measures one class's vmapped in-context cost per frame.
         b = int(sys.argv[sys.argv.index("--batch") + 1])
         frames_b = jax.device_put(jnp.asarray(
             rng.integers(0, 1024, size=(b, H, W), dtype=np.int32)))
+
+        if "--class" in sys.argv:
+            want = sys.argv[sys.argv.index("--class") + 1]
+            ww, hh = (int(v) for v in want.split("x"))
+            i = next(i for i, cp in enumerate(plans)
+                     if cp.shape.width == ww and cp.shape.height == hh)
+            ms = ps.device_ms(
+                lambda fr: jax.vmap(lambda x: subset(x, (i,)))(fr),
+                frames_b)
+            print(f"only class {want} vmapped batch {b}: {ms:8.2f} ms "
+                  f"= {ms / b:6.2f} ms/frame", flush=True)
+            return
 
         def run_b(fr):
             return jax.vmap(
