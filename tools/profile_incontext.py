@@ -90,6 +90,10 @@ def main() -> None:
 
     if "--class" in sys.argv:
         # Single-class in-context measurement (for VVC_CU_TILES A/Bs).
+        # With --ablate: repeat with the orig gathers, boundary gathers,
+        # and both replaced by broadcasts — the deltas are THIS class's
+        # in-context gather costs (the family-level ablation can't say
+        # which classes pay them).
         want = sys.argv[sys.argv.index("--class") + 1]
         ww, hh = (int(v) for v in want.split("x"))
         i = next(i for i, cp in enumerate(plans)
@@ -99,6 +103,17 @@ def main() -> None:
         print(f"only class {want} "
               f"[VVC_CU_TILES={os.environ.get('VVC_CU_TILES', '')}]: "
               f"{ms:6.2f} ms", flush=True)
+        if "--ablate" in sys.argv:
+            # In only-class mode the jit compiles only this class's
+            # strides' phase splits, so the splits delta is class-own.
+            for label, patch in (("orig", _patch_orig),
+                                 ("bnd", _patch_bnd),
+                                 ("both", _patch_both),
+                                 ("splits", _patch_splits)):
+                with patch():
+                    ab = ps.device_ms(lambda fr: subset(fr, (i,)), frame)
+                print(f"  {label} gathers -> broadcast: {ab:6.2f} ms "
+                      f"(in-context cost {ms - ab:+5.2f})", flush=True)
         return
 
     e2e = ps.device_ms(
@@ -133,18 +148,14 @@ def main() -> None:
                   f"{e2e - ms:+6.2f})", flush=True)
 
 
-def _ablate(frame, e2e: float, W: int, H: int) -> None:
-    """e2e with each gather family replaced by same-shape BROADCASTS of an
-    input-derived scalar (not foldable, not DCE-able; the Pallas inputs
-    still materialize, so only the relayout work is removed).  The delta
-    vs the true e2e is the family's real in-context cost — what the
-    pipeline would gain if that data movement were free."""
-    from vvc_mip_gpu_tpu.ops.pallas import gather as pg
+import contextlib
 
-    def run(fr):
-        return _compute(fr, fr, width=W, height=H,
-                        max_performance=True).min_sad_had
 
+@contextlib.contextmanager
+def _patch_orig():
+    """Replace the original-sample gathers with same-shape BROADCASTS of
+    an input-derived scalar (not foldable, not DCE-able; the Pallas
+    inputs still materialize, so only the relayout work is removed)."""
     orig_o4 = soa.gather_originals_phase4
     orig_og = soa.gather_originals
 
@@ -162,12 +173,17 @@ def _ablate(frame, e2e: float, W: int, H: int) -> None:
     soa.gather_originals_phase4 = dummy_o4
     soa.gather_originals = dummy_og
     try:
-        ms = ps.device_ms(run, frame)
-        print(f"e2e, orig gathers -> broadcast: {ms:8.2f} ms "
-              f"(orig in-context cost {e2e - ms:+5.2f})", flush=True)
+        yield
     finally:
         soa.gather_originals_phase4 = orig_o4
         soa.gather_originals = orig_og
+
+
+@contextlib.contextmanager
+def _patch_bnd():
+    """Replace the boundary gathers (top, left, fixups, fetch_rows) with
+    same-shape broadcasts."""
+    from vvc_mip_gpu_tpu.ops.pallas import gather as pg
 
     saved = (soa.gather_top_phase4, soa.gather_left_phase4,
              soa.left_fixups4, soa.gather_boundaries, pg.fetch_rows)
@@ -198,36 +214,22 @@ def _ablate(frame, e2e: float, W: int, H: int) -> None:
     soa.gather_boundaries = dummy_bnd
     pg.fetch_rows = dummy_fetch
     try:
-        ms = ps.device_ms(run, frame)
-        print(f"e2e, boundary gathers -> broadcast: {ms:8.2f} ms "
-              f"(bnd in-context cost {e2e - ms:+5.2f})", flush=True)
+        yield
     finally:
         (soa.gather_top_phase4, soa.gather_left_phase4, soa.left_fixups4,
          soa.gather_boundaries, pg.fetch_rows) = saved
 
-    # Both families at once (the residue is splits + kernels + reorder +
-    # assembly).
-    soa.gather_originals_phase4 = dummy_o4
-    soa.gather_originals = dummy_og
-    soa.gather_top_phase4 = dummy_top
-    soa.gather_left_phase4 = dummy_left
-    soa.left_fixups4 = dummy_fix
-    soa.gather_boundaries = dummy_bnd
-    pg.fetch_rows = dummy_fetch
-    try:
-        ms = ps.device_ms(run, frame)
-        print(f"e2e, ALL gathers -> broadcast: {ms:8.2f} ms "
-              f"(gathers in-context cost {e2e - ms:+5.2f})", flush=True)
-    finally:
-        soa.gather_originals_phase4 = orig_o4
-        soa.gather_originals = orig_og
-        (soa.gather_top_phase4, soa.gather_left_phase4, soa.left_fixups4,
-         soa.gather_boundaries, pg.fetch_rows) = saved
 
-    # Phase splits -> broadcast (keeps gathers, removes the per-stride
-    # frame relayouts).
-    import vvc_mip_gpu_tpu.models.cost_engine as ce
+@contextlib.contextmanager
+def _patch_both():
+    with _patch_orig(), _patch_bnd():
+        yield
 
+
+@contextlib.contextmanager
+def _patch_splits():
+    """Replace the per-stride phase splits with broadcasts (keeps
+    gathers, removes the frame relayouts)."""
     split0 = soa.phase_split4
 
     def dummy_split(a, stride, pad_lanes=False, pad_rows=0):
@@ -242,12 +244,43 @@ def _ablate(frame, e2e: float, W: int, H: int) -> None:
 
     soa.phase_split4 = dummy_split
     try:
-        ms = ps.device_ms(run, frame)
-        print(f"e2e, phase splits -> broadcast: {ms:8.2f} ms "
-              f"(splits in-context cost {e2e - ms:+5.2f})", flush=True)
+        yield
     finally:
         soa.phase_split4 = split0
 
+
+def _ablate(frame, e2e: float, W: int, H: int) -> None:
+    """e2e with each gather family replaced by broadcasts.  The delta vs
+    the true e2e is the family's real in-context cost — what the
+    pipeline would gain if that data movement were free."""
+
+    def run(fr):
+        return _compute(fr, fr, width=W, height=H,
+                        max_performance=True).min_sad_had
+
+    with _patch_orig():
+        ms = ps.device_ms(run, frame)
+        print(f"e2e, orig gathers -> broadcast: {ms:8.2f} ms "
+              f"(orig in-context cost {e2e - ms:+5.2f})", flush=True)
+
+    with _patch_bnd():
+        ms = ps.device_ms(run, frame)
+        print(f"e2e, boundary gathers -> broadcast: {ms:8.2f} ms "
+              f"(bnd in-context cost {e2e - ms:+5.2f})", flush=True)
+
+    # Both families at once (the residue is splits + kernels + reorder +
+    # assembly).
+    with _patch_both():
+        ms = ps.device_ms(run, frame)
+        print(f"e2e, ALL gathers -> broadcast: {ms:8.2f} ms "
+              f"(gathers in-context cost {e2e - ms:+5.2f})", flush=True)
+
+    # Phase splits -> broadcast (keeps gathers, removes the per-stride
+    # frame relayouts).
+    with _patch_splits():
+        ms = ps.device_ms(run, frame)
+        print(f"e2e, phase splits -> broadcast: {ms:8.2f} ms "
+              f"(splits in-context cost {e2e - ms:+5.2f})", flush=True)
 
 if __name__ == "__main__":
     main()
