@@ -86,6 +86,12 @@ _FETCH_MODE: str = _os.environ.get("VVC_FETCH", "left")
 _SID0_LIMBS: str = _os.environ.get("VVC_SID0_LIMBS", "kernel")
 _SID1_LIMBS: str = _os.environ.get("VVC_SID1_LIMBS", "kernel")
 
+# Row-band kernel lever for the grouped (SizeId2) classes: "1" routes
+# them through ops/pallas/rowband.py, which consumes the phase-split
+# tensors directly as [w, k, h, C] blocks — no materialized orig/ref
+# relayouts (the ~1.1 ms/frame orig family of evidence/ablate_r4.log).
+_ROWBAND: str = _os.environ.get("VVC_ROWBAND", "0")
+
 
 
 def _use_pallas() -> bool:
@@ -142,6 +148,11 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
     r = shape.reduced_pred_size
     if use_pallas is None:
         use_pallas = _use_pallas()
+    if (use_pallas and shape.size_id == 2 and _ROWBAND == "1"
+            and f_frame is not None
+            and all(_group_stride(gp) is not None for gp in cplan.groups)):
+        return _class_costs_rowband(cplan, f_frame, f_slab, is_top,
+                                    max_performance)
     mode_minor = use_pallas and shape.size_id < 2
     if use_pallas and not mode_minor:
         # Grouped (SizeId2) kernel: %4 sample orders.  Columns and ref_t
@@ -287,6 +298,54 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
                 gp.lattice_costs_to_ctu_mode_minor(sad_t[off:off + n]),
                 gp.lattice_costs_to_ctu_mode_minor(satd_t[off:off + n]))
         off += n
+    return out
+
+
+def _class_costs_rowband(cplan: ClassPlan, f_frame, f_slab, is_top,
+                         max_performance: bool):
+    """SizeId2 class costs via the row-band kernel (VVC_ROWBAND=1):
+    phase-space boxes in, [n_r, C, 2M] lattice-order mode-minor costs
+    out — no materialized orig/boundary relayouts (see
+    ops/pallas/rowband.py).  Groups sharing a lattice stride share one
+    kernel call (same box column count)."""
+    from vvc_mip_gpu_tpu.ops.pallas import pred as pallas_pred
+    from vvc_mip_gpu_tpu.ops.pallas.distortion import input_perms
+    from vvc_mip_gpu_tpu.ops.pallas.rowband import rowband_distortion
+
+    shape = cplan.shape
+    w, h, r = shape.width, shape.height, shape.reduced_pred_size
+    two_m = 2 * PRED_MODES[2]
+    pred_perm = tuple(int(v) for v in input_perms(h, w, r)[0])
+    mat = jnp.asarray(pallas_pred._augmented_matrix(2, pred_perm, False))
+
+    by_stride: dict[int, list] = {}
+    for gp in cplan.groups:
+        by_stride.setdefault(_group_stride(gp), []).append(gp)
+
+    out: dict[int, object] = {}
+    for s, gps in sorted(by_stride.items()):
+        boxes = [soa.rowband_boxes(f_frame[s], f_slab[s], gp, is_top)
+                 for gp in gps]
+        og = jnp.concatenate([b[0] for b in boxes], axis=1)
+        rt = jnp.concatenate([b[1] for b in boxes], axis=1)
+        rl = jnp.concatenate([b[2] for b in boxes], axis=0)
+        res = rowband_distortion(
+            og, rt, rl, mat, h=h, w=w, r=r, two_m=two_m,
+            emit="msh_t" if max_performance else "sad_satd_t",
+            interpret=_PALLAS_INTERPRET)
+        off = 0
+        for gp in gps:
+            n_r, n_c = gp.n_rows, gp.n_cols
+
+            def _blk(t):
+                b = t[off:off + n_r, :n_c].reshape(n_r * n_c, two_m)
+                return gp.lattice_costs_to_ctu_mode_minor(b)
+
+            if max_performance:
+                out[gp.group_index] = _blk(res)
+            else:
+                out[gp.group_index] = (_blk(res[0]), _blk(res[1]))
+            off += n_r
     return out
 
 

@@ -378,6 +378,72 @@ def gather_originals(frame_pad, plan: GroupPlan,
     return tile.reshape(h * w, plan.n_rows * plan.n_cols)
 
 
+def rowband_boxes(f4_frame, f4_slab, plan: GroupPlan, is_top):
+    """Phase-space input boxes for the row-band kernel
+    (ops/pallas/rowband.py): og [w, n_r, h, C], ref_t [w, n_r, C] and
+    ref_l [n_r, h, C], VVC edge rules pre-applied to the boundaries and
+    the lane axis padded to a 128 multiple.  Everything here is
+    contiguity-preserving slices/reshapes of the %4-major phase tensors
+    — for the aligned stride==w, sy==h groups the og box is a pure view
+    — replacing the lane/sublane-crossing SoA transposes of
+    gather_originals_phase4 / gather_boundaries_phase4.
+    """
+    w, h = plan.width, plan.height
+    s = f4_frame.shape[0]
+    x0 = plan.x_prog[0]
+    oy = int(plan.ys[0])
+    sy = plan.y_prog[1] if plan.n_rows > 1 else h
+    n_r, n_c = plan.n_rows, plan.n_cols
+    c_pad = -(-n_c // 128) * 128
+
+    def _lanes(a):
+        """Slice/pad the minor axis to the 128-padded column count."""
+        if a.shape[-1] == c_pad:
+            return a
+        if a.shape[-1] > c_pad:
+            return jax.lax.slice_in_dim(a, 0, c_pad, axis=a.ndim - 1)
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1)
+                       + [(0, c_pad - a.shape[-1])])
+
+    # ---- original samples: [w, n_r, h, C]
+    fw = _window_phases4(f4_frame, x0, w)
+    og = _lanes(_f_row_blocks(fw, (oy, sy), None, n_r, h))
+
+    # ---- top boundaries: [w, n_r, C] (slab row y == frame row y-1)
+    fwt = _window_phases4(f4_slab, x0, w)
+    rt = _lanes(jax.lax.slice(
+        fwt, (0, oy, 0),
+        (w, oy + (n_r - 1) * sy + 1, fwt.shape[2]), (1, sy, 1)))
+    if x0 > 0:
+        pad_cols = _lanes(f4_slab[phase4_pos(x0 - 1, s), 1:2])[0]
+    else:
+        left = f4_slab[phase4_pos(s - 1, s), 1, :]
+        pad_cols = _lanes(jnp.concatenate(
+            [jnp.full((1,), VALUE_DC, left.dtype), left[:-1]])[None])[0]
+    fix_t = jnp.logical_and(jnp.asarray(plan.ys == 0), is_top)
+    rt = jnp.where(fix_t[None, :, None], pad_cols[None, None, :], rt)
+
+    # ---- left boundaries: [n_r, h, C] (phase x0-1; frame-left wrap
+    # shifts one lattice column right, garbage column 0 overwritten by
+    # the edge fixup)
+    p = phase4_pos((x0 - 1) % s, s)
+    fl = jax.lax.slice_in_dim(f4_slab, p, p + 1, axis=0)
+    rl = _f_row_blocks(fl, (oy + 1, sy), None, n_r, h)[0]
+    rl = _lanes(rl)
+    if x0 == 0:
+        rl = jnp.concatenate([rl[..., :1], rl[..., :-1]], axis=-1)
+    col0 = f4_slab[0, :, 0]
+    rows = jax.lax.slice(col0, (oy,), (oy + (n_r - 1) * sy + 1,), (sy,))
+    pad_rows = jnp.where(
+        jnp.logical_and(jnp.asarray(plan.ys == 0), is_top),
+        jnp.asarray(VALUE_DC, col0.dtype), rows)
+    fix_l = np.zeros(c_pad, bool)
+    fix_l[:n_c] = plan.xs[:n_c] == 0
+    rl = jnp.where(jnp.asarray(fix_l)[None, None, :],
+                   pad_rows[:, None, None], rl)
+    return og, rt, rl
+
+
 def reduce_boundary(samples, bnd_size: int):
     """Downsample-average along the sample (leading) axis."""
     n = samples.shape[0]
