@@ -110,6 +110,34 @@ def test_fetch_lever_interpret(fetch):
         f"fetch={fetch}: {mism.sum()} mismatches")
 
 
+@pytest.mark.parametrize("max_performance", [True, False])
+def test_rowband_lever_interpret(max_performance):
+    """VVC_ROWBAND=1 (SizeId2 classes via the phase-space row-band
+    kernel, ops/pallas/rowband.py) must be bit-exact through the engine
+    in both emit regimes.  192 rows give a partial bottom CTU so the
+    padded row bands and edge-replicated windows are exercised."""
+    from vvc_mip_gpu_tpu.models import cost_engine as ce
+
+    frame = RNG.integers(0, 1024, size=(192, 128), dtype=np.int64)
+    old = (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._ROWBAND)
+    ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET = True, True
+    ce._ROWBAND = "1"
+    try:
+        got = MipCostEngine(128, 192, max_performance=max_performance)(
+            frame.astype(np.int32))
+    finally:
+        (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._ROWBAND) = old
+    exp = gm.frame_costs(frame, frame)
+    valid = np.asarray(got.valid)
+    fields = (("min_sad_had",) if max_performance
+              else ("sad", "satd", "min_sad_had"))
+    for field in fields:
+        e = gm.flatten_strided(exp, field)
+        a = np.asarray(getattr(got, field), np.int64)
+        mism = (e != a) & valid
+        assert not mism.any(), f"{field}: {mism.sum()} mismatches"
+
+
 @pytest.mark.slow
 def test_416x240():
     _check(416, 240)

@@ -94,7 +94,7 @@ def _kernel_rowband(*refs, h: int, w: int, r: int, two_m: int, emit: str,
     og_ref   [w, k, h, C]  w %4-grouped (phase-run order), h raster
     reft_ref [w, k, C]     w %4-grouped
     refl_ref [k, h, C]     h raster
-    Outputs [k, 2M*C] int32 rows, inner (C, 2M) mode-minor.
+    Outputs [k, C, 2M] int32 bands, mode-minor.
     """
     mat_ref, og_ref, reft_ref, refl_ref, *rest = refs
     if emit == "msh_t":
@@ -233,20 +233,19 @@ def _kernel_rowband(*refs, h: int, w: int, r: int, two_m: int, emit: str,
 
         jax.lax.fori_loop(0, two_m // unroll, chunk_body, 0)
 
-    # ---- epilogue: [2M, k, C] scratch -> [k, C*2M] rows (per-sublane 2D
-    # transposes, the same in-VMEM move _emit_costs makes for msh_t).
-    def _rows(vals):
-        parts = []
-        for kk in range(k):
-            t = jnp.transpose(vals[:, kk, :], (1, 0))  # [C, 2M]
-            parts.append(t.reshape(1, two_m * C))
-        return jnp.concatenate(parts, 0)
+    # ---- epilogue: [2M, k, C] scratch -> [k, C, 2M] output (per-sublane
+    # 2D transposes — the same lane<->sublane move _emit_costs makes for
+    # msh_t — stacked along the band axis; Mosaic rejects the
+    # sublane-into-lane shape cast a flat [k, 2M*C] row form would need).
+    def _bands(vals):
+        return jnp.stack(
+            [jnp.transpose(vals[:, kk, :], (1, 0)) for kk in range(k)], 0)
 
     if emit == "msh_t":
-        out_ref[...] = _rows(jnp.minimum(2 * sad_s[...], satd_s[...]))
+        out_ref[...] = _bands(jnp.minimum(2 * sad_s[...], satd_s[...]))
     else:
-        sad_out[...] = _rows(sad_s[...])
-        satd_out[...] = _rows(satd_s[...])
+        sad_out[...] = _bands(sad_s[...])
+        satd_out[...] = _bands(satd_s[...])
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -290,9 +289,9 @@ def rowband_distortion(og, reft, refl, mat, *, h, w, r, two_m,
                      memory_space=pltpu.VMEM),
     ]
     n_outs = 1 if emit == "msh_t" else 2
-    out_specs = [pl.BlockSpec((k, two_m * C), lambda i: (i, 0),
+    out_specs = [pl.BlockSpec((k, C, two_m), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)] * n_outs
-    out_shape = [jax.ShapeDtypeStruct((n_pad, two_m * C),
+    out_shape = [jax.ShapeDtypeStruct((n_pad, C, two_m),
                                       jnp.int32)] * n_outs
     scratch = [pltpu.VMEM((two_m, k, C), jnp.int32)] * 2
     if eff_unroll < two_m:
@@ -315,7 +314,7 @@ def rowband_distortion(og, reft, refl, mat, *, h, w, r, two_m,
     )(mat, og, reft, refl)
 
     def _shaped(o):
-        return o.reshape(n_pad, C, two_m)[:n_r]
+        return o[:n_r]
 
     if emit == "msh_t":
         return _shaped(outs[0])
