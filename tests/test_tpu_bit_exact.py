@@ -145,6 +145,10 @@ def test_bit_exact_default_levers_on_tpu(tpu_backend, res, filtered):
     {"VVC_SID0_LIMBS": "xla"},
     {"VVC_SID1_LIMBS": "xla"},
     {"VVC_SID0_LIMBS": "xla", "VVC_SID1_LIMBS": "xla"},
+    # r4: the SizeId2 row-band path (ops/pallas/rowband.py) — its DMA
+    # box geometry and in-kernel band transposes are exactly the kind
+    # of surface that only real Mosaic lowering exercises.
+    {"VVC_ROWBAND": "1"},
 ], ids=lambda d: ",".join(f"{k[4:].lower()}={v}" for k, v in d.items()))
 def test_bit_exact_lever_matrix_on_tpu(tpu_backend, tmp_path, levers):
     """Every lever combination, 416x240 max-performance, in a SUBPROCESS

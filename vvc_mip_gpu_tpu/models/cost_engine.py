@@ -148,11 +148,14 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
     r = shape.reduced_pred_size
     if use_pallas is None:
         use_pallas = _use_pallas()
+    rb_out: dict[int, object] = {}
+    rb_covered: frozenset[int] = frozenset()
     if (use_pallas and shape.size_id == 2 and _ROWBAND == "1"
-            and f_frame is not None
-            and all(_group_stride(gp) is not None for gp in cplan.groups)):
-        return _class_costs_rowband(cplan, f_frame, f_slab, is_top,
-                                    max_performance)
+            and f_frame is not None):
+        rb_out, rb_covered = _class_costs_rowband(
+            cplan, f_frame, f_slab, is_top, max_performance)
+        if len(rb_covered) == len(cplan.groups):
+            return rb_out
     mode_minor = use_pallas and shape.size_id < 2
     if use_pallas and not mode_minor:
         # Grouped (SizeId2) kernel: %4 sample orders.  Columns and ref_t
@@ -227,9 +230,11 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
             soa.reduce_boundary(rt, bs), soa.reduce_boundary(rl, bs),
             shape.size_id)
 
-    out: dict[int, object] = {}
+    out: dict[int, object] = dict(rb_out)
     pending = []
     for gp in cplan.groups:
+        if gp.group_index in rb_covered:
+            continue
         stride = _group_stride(gp)
         if stride is not None and f_frame is not None:
             rt, rl, og = _gather_group_phase4(
@@ -307,7 +312,12 @@ def _class_costs_rowband(cplan: ClassPlan, f_frame, f_slab, is_top,
     phase-space boxes in, [n_r, C, 2M] lattice-order mode-minor costs
     out — no materialized orig/boundary relayouts (see
     ops/pallas/rowband.py).  Groups sharing a lattice stride share one
-    kernel call (same box column count)."""
+    kernel call (same box column count).  Returns (blocks, covered):
+    only stride partitions whose lane padding is small (C >= 120, i.e.
+    <=6.7% dead lanes — the coarse strides pad 60 or 30 up to 128,
+    doubling-to-quadrupling kernel work) and whose k-band og block fits
+    VMEM comfortably are taken; the rest stay on the default path
+    (mixed per-class routing)."""
     from vvc_mip_gpu_tpu.ops.pallas import pred as pallas_pred
     from vvc_mip_gpu_tpu.ops.pallas.distortion import input_perms
     from vvc_mip_gpu_tpu.ops.pallas.rowband import rowband_distortion
@@ -320,9 +330,19 @@ def _class_costs_rowband(cplan: ClassPlan, f_frame, f_slab, is_top,
 
     by_stride: dict[int, list] = {}
     for gp in cplan.groups:
-        by_stride.setdefault(_group_stride(gp), []).append(gp)
+        s = _group_stride(gp)
+        if s is None:
+            continue
+        c_pad = -(-gp.n_cols // 128) * 128
+        if gp.n_cols / c_pad < 0.9:
+            continue  # coarse stride: lane padding too wasteful
+        if w * 8 * h * c_pad * 2 > (2 << 20):
+            continue  # k=8 og block would crowd scoped VMEM
+        by_stride.setdefault(s, []).append(gp)
 
     out: dict[int, object] = {}
+    covered = frozenset(gp.group_index
+                        for gps in by_stride.values() for gp in gps)
     for s, gps in sorted(by_stride.items()):
         boxes = [soa.rowband_boxes(f_frame[s], f_slab[s], gp, is_top)
                  for gp in gps]
@@ -332,6 +352,7 @@ def _class_costs_rowband(cplan: ClassPlan, f_frame, f_slab, is_top,
         res = rowband_distortion(
             og, rt, rl, mat, h=h, w=w, r=r, two_m=two_m,
             emit="msh_t" if max_performance else "sad_satd_t",
+            k=int(_os.environ.get("VVC_RB_K", "8")),
             interpret=_PALLAS_INTERPRET)
         off = 0
         for gp in gps:
@@ -346,7 +367,7 @@ def _class_costs_rowband(cplan: ClassPlan, f_frame, f_slab, is_top,
             else:
                 out[gp.group_index] = (_blk(res[0]), _blk(res[1]))
             off += n_r
-    return out
+    return out, covered
 
 
 def _gather_group_phase4(f4_frame, f4_slab, f4_reff, gp, is_top, *,
