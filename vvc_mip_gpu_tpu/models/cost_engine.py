@@ -150,8 +150,7 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
         use_pallas = _use_pallas()
     rb_out: dict[int, object] = {}
     rb_covered: frozenset[int] = frozenset()
-    if (use_pallas and shape.size_id == 2 and _ROWBAND == "1"
-            and f_frame is not None):
+    if use_pallas and _ROWBAND == "1" and f_frame is not None:
         rb_out, rb_covered = _class_costs_rowband(
             cplan, f_frame, f_slab, is_top, max_performance)
         if len(rb_covered) == len(cplan.groups):
@@ -320,19 +319,27 @@ def _class_costs_rowband(cplan: ClassPlan, f_frame, f_slab, is_top,
     (mixed per-class routing)."""
     from vvc_mip_gpu_tpu.ops.pallas import pred as pallas_pred
     from vvc_mip_gpu_tpu.ops.pallas.distortion import input_perms
-    from vvc_mip_gpu_tpu.ops.pallas.rowband import rowband_distortion
+    from vvc_mip_gpu_tpu.ops.pallas.rowband import (
+        rowband_distortion, rowband_distortion_mm)
 
     shape = cplan.shape
     w, h, r = shape.width, shape.height, shape.reduced_pred_size
-    two_m = 2 * PRED_MODES[2]
-    pred_perm = tuple(int(v) for v in input_perms(h, w, r)[0])
-    mat = jnp.asarray(pallas_pred._augmented_matrix(2, pred_perm, False))
+    sid = shape.size_id
+    two_m = 2 * PRED_MODES[sid]
+    if sid == 2:
+        pred_perm = tuple(int(v) for v in input_perms(h, w, r)[0])
+        mat = jnp.asarray(
+            pallas_pred._augmented_matrix(2, pred_perm, False))
+    else:
+        # Mode-minor kernel: raster (y, x) sample rows on both pred and
+        # orig (the kernel indexes the og box statically, so no perm).
+        mat = jnp.asarray(pallas_pred._augmented_matrix(sid, None, True))
 
     by_stride: dict[int, list] = {}
     for gp in cplan.groups:
         s = _group_stride(gp)
-        if s is None:
-            continue
+        if s is None or gp.y_prog is None:
+            continue  # non-uniform lattice: default path
         c_pad = -(-gp.n_cols // 128) * 128
         if gp.n_cols / c_pad < 0.9:
             continue  # coarse stride: lane padding too wasteful
@@ -349,11 +356,17 @@ def _class_costs_rowband(cplan: ClassPlan, f_frame, f_slab, is_top,
         og = jnp.concatenate([b[0] for b in boxes], axis=1)
         rt = jnp.concatenate([b[1] for b in boxes], axis=1)
         rl = jnp.concatenate([b[2] for b in boxes], axis=0)
-        res = rowband_distortion(
-            og, rt, rl, mat, h=h, w=w, r=r, two_m=two_m,
-            emit="msh_t" if max_performance else "sad_satd_t",
-            k=int(_os.environ.get("VVC_RB_K", "8")),
-            interpret=_PALLAS_INTERPRET)
+        kk = int(_os.environ.get("VVC_RB_K", "8"))
+        emit = "msh_t" if max_performance else "sad_satd_t"
+        if sid == 2:
+            res = rowband_distortion(
+                og, rt, rl, mat, h=h, w=w, r=r, two_m=two_m, emit=emit,
+                k=kk, interpret=_PALLAS_INTERPRET)
+        else:
+            res = rowband_distortion_mm(
+                og, rt, rl, mat, h=h, w=w, r=r, two_m=two_m,
+                bs=shape.boundary_size, emit=emit, k=kk,
+                interpret=_PALLAS_INTERPRET)
         off = 0
         for gp in gps:
             n_r, n_c = gp.n_rows, gp.n_cols

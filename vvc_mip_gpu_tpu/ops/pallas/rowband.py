@@ -248,6 +248,164 @@ def _kernel_rowband(*refs, h: int, w: int, r: int, two_m: int, emit: str,
         satd_out[...] = _bands(satd_s[...])
 
 
+def _kernel_rowband_mm(*refs, h: int, w: int, r: int, two_m: int,
+                       bs: int, emit: str, dc_row0: bool):
+    """Mode-minor (SizeId0/1) row-band kernel: the mode axis rides the
+    SUBLANES, so each k-band row is processed as full-width [2M, C]
+    planes (the _kernel_mode_minor body on row-band inputs).  Same box
+    layouts as _kernel_rowband; a static python loop walks the k rows.
+    """
+    mat_ref, og_ref, reft_ref, refl_ref, *outs = refs
+    k, C = og_ref.shape[1], og_ref.shape[3]
+    up_h, up_v = w // r, h // r
+    from vvc_mip_gpu_tpu.ops.pallas.distortion import _satd4x4_planes
+
+    # Box w axis is %4-grouped: raster x sits at position xinv[x].
+    xinv = np.argsort(np.asarray(_mod4_major_w(w)))
+
+    for kk in range(k):
+        def t_row(x):
+            return reft_ref[pl.ds(int(xinv[x]), 1),
+                            pl.ds(kk, 1), :].reshape(1, C).astype(
+                                jnp.int32)
+
+        def l_row(y):
+            return refl_ref[pl.ds(kk, 1),
+                            pl.ds(y, 1), :].reshape(1, C).astype(
+                                jnp.int32)
+
+        x = _build_limbs_planes([t_row(i) for i in range(w)],
+                                [l_row(i) for i in range(h)],
+                                bs, dc_row0=dc_row0)
+        predv = _fused_pred(mat_ref, x)  # [s*2M, C] rows (s, m)
+
+        def pred_plane(i):
+            return predv[i * two_m:(i + 1) * two_m]
+
+        def og_plane(y, x_):
+            return og_ref[pl.ds(int(xinv[x_]), 1), pl.ds(kk, 1),
+                          pl.ds(y, 1), :].reshape(1, C).astype(jnp.int32)
+
+        def interp(base, after, o, up):
+            if o == up:
+                return after
+            log2 = up.bit_length() - 1
+            return ((base << log2) + o * (after - base)
+                    + (1 << (log2 - 1))) >> log2
+
+        anchors = [[pred_plane(ky * r + j) for j in range(r)]
+                   for ky in range(r)]
+        if up_h > 1:
+            lead = [l_row((ky + 1) * up_v - 1) for ky in range(r)]
+        memo = {}
+
+        def hor(ky, x_):
+            if up_h == 1:
+                return anchors[ky][x_]
+            if (ky, x_) not in memo:
+                j, o = x_ // up_h, x_ % up_h + 1
+                base = anchors[ky][j - 1] if j else lead[ky]
+                memo[(ky, x_)] = interp(base, anchors[ky][j], o, up_h)
+            return memo[(ky, x_)]
+
+        if up_v == 1:
+            plane = hor
+        else:
+            top = [t_row(x_) for x_ in range(w)]
+
+            def plane(y, x_):
+                ky, o = y // up_v, y % up_v + 1
+                base = hor(ky - 1, x_) if ky else top[x_]
+                return interp(base, hor(ky, x_), o, up_v)
+
+        sad = None
+        satd = None
+        for by in range(h // 4):
+            for bx in range(w // 4):
+                d = [[og_plane(4 * by + dy, 4 * bx + dx)
+                      - plane(4 * by + dy, 4 * bx + dx)
+                      for dx in range(4)] for dy in range(4)]
+                sad_b = None
+                for row in d:
+                    for v in row:
+                        a = jnp.abs(v)
+                        sad_b = a if sad_b is None else sad_b + a
+                satd_b = _satd4x4_planes(d)
+                sad = sad_b if sad is None else sad + sad_b
+                satd = satd_b if satd is None else satd + satd_b
+
+        if emit == "msh_t":
+            msh = jnp.minimum(2 * sad, satd)
+            outs[0][pl.ds(kk, 1)] = jnp.transpose(
+                msh, (1, 0)).reshape(1, C, two_m)
+        else:
+            outs[0][pl.ds(kk, 1)] = jnp.transpose(
+                sad, (1, 0)).reshape(1, C, two_m)
+            outs[1][pl.ds(kk, 1)] = jnp.transpose(
+                satd, (1, 0)).reshape(1, C, two_m)
+
+
+def _mod4_major_w(n: int):
+    from vvc_mip_gpu_tpu.ops.pallas.distortion import _mod4_major
+
+    return _mod4_major(n)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "h", "w", "r", "two_m", "bs", "emit", "k", "interpret", "dc_row0"))
+def rowband_distortion_mm(og, reft, refl, mat, *, h, w, r, two_m, bs,
+                          emit="msh_t", k=8, interpret=False,
+                          dc_row0=True):
+    """Mode-minor row-band wrapper (SizeId0/1 classes): same box
+    contract as rowband_distortion; ``mat`` is the mode-minor augmented
+    matrix (rows (s, m)); ``bs`` the boundary size (2 for SizeId0,
+    4 for SizeId1); ``dc_row0`` the 512-first DC offset rule."""
+    n_r, C = og.shape[1], og.shape[3]
+    assert C % 128 == 0, C
+    pad = (-n_r) % k
+    if pad:
+        og = jnp.pad(og, [(0, 0), (0, pad), (0, 0), (0, 0)])
+        reft = jnp.pad(reft, [(0, 0), (0, pad), (0, 0)])
+        refl = jnp.pad(refl, [(0, pad), (0, 0), (0, 0)])
+    n_pad = n_r + pad
+    grid = (n_pad // k,)
+    rows_m, k_dim = mat.shape
+    in_specs = [
+        pl.BlockSpec((rows_m, k_dim), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((w, k, h, C), lambda i: (0, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((w, k, C), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, h, C), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    n_outs = 1 if emit == "msh_t" else 2
+    out_specs = [pl.BlockSpec((k, C, two_m), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)] * n_outs
+    out_shape = [jax.ShapeDtypeStruct((n_pad, C, two_m),
+                                      jnp.int32)] * n_outs
+    outs = pl.pallas_call(
+        functools.partial(_kernel_rowband_mm, h=h, w=w, r=r,
+                          two_m=two_m, bs=bs, emit=emit,
+                          dc_row0=dc_row0),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * two_m * n_pad * C * h * w * 4,
+            bytes_accessed=(og.size + reft.size + refl.size) * 2
+                           + mat.size * 2 + n_pad * two_m * C * 4 * n_outs,
+            transcendentals=0,
+        ),
+    )(mat, og, reft, refl)
+    if emit == "msh_t":
+        return outs[0][:n_r]
+    return outs[0][:n_r], outs[1][:n_r]
+
+
 @functools.partial(jax.jit, static_argnames=(
     "h", "w", "r", "two_m", "emit", "k", "unroll", "interpret"))
 def rowband_distortion(og, reft, refl, mat, *, h, w, r, two_m,
