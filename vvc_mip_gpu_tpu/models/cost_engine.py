@@ -86,11 +86,19 @@ _FETCH_MODE: str = _os.environ.get("VVC_FETCH", "left")
 _SID0_LIMBS: str = _os.environ.get("VVC_SID0_LIMBS", "kernel")
 _SID1_LIMBS: str = _os.environ.get("VVC_SID1_LIMBS", "kernel")
 
-# Row-band kernel lever for the grouped (SizeId2) classes: "1" routes
-# them through ops/pallas/rowband.py, which consumes the phase-split
-# tensors directly as [w, k, h, C] blocks — no materialized orig/ref
-# relayouts (the ~1.1 ms/frame orig family of evidence/ablate_r4.log).
+# Row-band kernel lever: "1" routes shape classes through
+# ops/pallas/rowband.py, which consumes the phase-split tensors
+# directly as [w, k, h, C] blocks — no materialized orig/ref relayouts
+# (the ~1.1 ms/frame orig family of evidence/ablate_r4.log).
 _ROWBAND: str = _os.environ.get("VVC_ROWBAND", "0")
+
+# Which classes take the row-band path when it is on: hardware-measured
+# winners (in-context per-class A/B, evidence/tpu_tune_r4f/r4g.log) —
+# classes where the rowband kernel's time exceeds the gather time it
+# saves (e.g. 8x32: 0.61 vs 0.46 ms default) stay on the default path.
+# Override: VVC_RB_CLASSES="16x8,8x16" or "all".
+_RB_DEFAULT_CLASSES = "16x8,8x16,16x16,16x32,4x4,8x8,16x4,8x4,4x8,4x16"
+_RB_CLASSES: str = _os.environ.get("VVC_RB_CLASSES", _RB_DEFAULT_CLASSES)
 
 
 
@@ -150,7 +158,9 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
         use_pallas = _use_pallas()
     rb_out: dict[int, object] = {}
     rb_covered: frozenset[int] = frozenset()
-    if use_pallas and _ROWBAND == "1" and f_frame is not None:
+    if (use_pallas and _ROWBAND == "1" and f_frame is not None
+            and (_RB_CLASSES == "all"
+                 or f"{w}x{h}" in _RB_CLASSES.split(","))):
         rb_out, rb_covered = _class_costs_rowband(
             cplan, f_frame, f_slab, is_top, max_performance)
         if len(rb_covered) == len(cplan.groups):
