@@ -110,6 +110,33 @@ def test_fetch_lever_interpret(fetch):
         f"fetch={fetch}: {mism.sum()} mismatches")
 
 
+def test_rowband_filtered_interpret():
+    """VVC_ROWBAND=1 in the alternative-samples regime: the boundary
+    boxes must come from the FILTERED slab while og stays on the
+    original frame (rowband_boxes' two phase-tensor families)."""
+    from vvc_mip_gpu_tpu.models import cost_engine as ce
+    from vvc_mip_gpu_tpu.ops.filters import filter_frames
+
+    frame = RNG.integers(0, 1024, size=(192, 128), dtype=np.int64)
+    ref = np.asarray(filter_frames(
+        frame[None].astype(np.int32),
+        "filterFrame_2d_int_quarterCtu", 2))[0]
+    old = (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._ROWBAND)
+    ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET = True, True
+    ce._ROWBAND = "1"
+    try:
+        got = MipCostEngine(128, 192, max_performance=True)(
+            frame.astype(np.int32), ref.astype(np.int32))
+    finally:
+        (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._ROWBAND) = old
+    exp = gm.frame_costs(frame, ref.astype(np.int64))
+    valid = np.asarray(got.valid)
+    e = gm.flatten_strided(exp, "min_sad_had")
+    a = np.asarray(got.min_sad_had, np.int64)
+    mism = (e != a) & valid
+    assert not mism.any(), f"{mism.sum()} mismatches"
+
+
 @pytest.mark.parametrize("max_performance", [True, False])
 def test_rowband_lever_interpret(max_performance):
     """VVC_ROWBAND=1 (SizeId2 classes via the phase-space row-band

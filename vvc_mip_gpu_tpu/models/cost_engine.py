@@ -93,11 +93,14 @@ _SID1_LIMBS: str = _os.environ.get("VVC_SID1_LIMBS", "kernel")
 _ROWBAND: str = _os.environ.get("VVC_ROWBAND", "0")
 
 # Which classes take the row-band path when it is on: hardware-measured
-# winners (in-context per-class A/B, evidence/tpu_tune_r4f/r4g.log) —
-# classes where the rowband kernel's time exceeds the gather time it
-# saves (e.g. 8x32: 0.61 vs 0.46 ms default) stay on the default path.
+# winners (in-context per-class A/B, evidence/tpu_tune_r4f/r4g.log):
+# 16x8 0.70 vs 0.86, 8x8 0.56 vs 0.97; 8x16/16x16/16x32/8x4 neutral
+# (kept — they drop relayout HBM traffic at equal time).  Excluded
+# measured losers: 8x32 (0.61 vs 0.46), 4x4 (0.67 vs 0.60), 16x4
+# (0.66 vs 0.61); 4x8/4x16 excluded pending compile-time
+# investigation (their w=4 rowband programs compile very slowly).
 # Override: VVC_RB_CLASSES="16x8,8x16" or "all".
-_RB_DEFAULT_CLASSES = "16x8,8x16,16x16,16x32,4x4,8x8,16x4,8x4,4x8,4x16"
+_RB_DEFAULT_CLASSES = "16x8,8x16,16x16,16x32,8x8,8x4"
 _RB_CLASSES: str = _os.environ.get("VVC_RB_CLASSES", _RB_DEFAULT_CLASSES)
 
 
