@@ -70,7 +70,10 @@ _PALLAS_INTERPRET: bool = False
 # e2e max-perf, evidence/tpu_batch_r3.log): left 8.58 ms < none 8.82 <
 # orig 8.88 < both 8.92 — fetch_rows wins for the left-boundary role
 # only (its strided column reads are the one gather XLA does badly);
-# adding the originals role overshoots.
+# adding the originals role overshoots.  Re-confirmed with the r4
+# rowband default on (evidence/tpu_tune_r4h.log): left 8.10 ms vs
+# none 8.36 — the row-band path covers class interiors, not the
+# left-boundary columns, so fetch_rows still pays for itself.
 import os as _os
 
 _FETCH_MODE: str = _os.environ.get("VVC_FETCH", "left")
@@ -86,11 +89,14 @@ _FETCH_MODE: str = _os.environ.get("VVC_FETCH", "left")
 _SID0_LIMBS: str = _os.environ.get("VVC_SID0_LIMBS", "kernel")
 _SID1_LIMBS: str = _os.environ.get("VVC_SID1_LIMBS", "kernel")
 
-# Row-band kernel lever: "1" routes shape classes through
-# ops/pallas/rowband.py, which consumes the phase-split tensors
-# directly as [w, k, h, C] blocks — no materialized orig/ref relayouts
-# (the ~1.1 ms/frame orig family of evidence/ablate_r4.log).
-_ROWBAND: str = _os.environ.get("VVC_ROWBAND", "0")
+# Row-band kernel lever: "1" (the measured default) routes shape
+# classes through ops/pallas/rowband.py, which consumes the phase-split
+# tensors directly as [w, k, h, C] blocks — no materialized orig/ref
+# relayouts (the ~1.1 ms/frame orig family of evidence/ablate_r4.log).
+# Default decided by the batch-H A/B (evidence/tpu_tune_r4h.log):
+# 1080p in-jit e2e 8.10 ms with the trimmed class set vs 8.62 off
+# (8.31 with VVC_RB_CLASSES=all); headline bench 106.9 fps vs 104.0.
+_ROWBAND: str = _os.environ.get("VVC_ROWBAND", "1")
 
 # Which classes take the row-band path when it is on: hardware-measured
 # winners (in-context per-class A/B, evidence/tpu_tune_r4f/r4g.log):
