@@ -75,14 +75,26 @@ def _metric_from_argv() -> str:
     return name + "_frames_per_second"
 
 
+def _emit(record: dict) -> None:
+    """Print the one-line JSON record, stamped with the round tag (env
+    VVC_BENCH_ROUND, set by the batch scripts) and the UTC date so every
+    BENCH_SIDE.json entry names the round that produced it (VERDICT r4
+    weak #3: r3 numbers sat unlabeled in the r4 artifact)."""
+    rnd = os.environ.get("VVC_BENCH_ROUND")
+    if rnd:
+        record["round"] = rnd
+    record["date"] = time.strftime("%Y-%m-%d", time.gmtime())
+    print(json.dumps(record))
+
+
 def _emit_error(reason: str) -> None:
-    print(json.dumps({
+    _emit({
         "metric": _metric_from_argv(),
         "value": None,
         "unit": "frames/s",
         "vs_baseline": None,
         "error": reason,
-    }))
+    })
 
 import jax
 import jax.numpy as jnp
@@ -249,7 +261,7 @@ def main() -> None:
         t4 = time.perf_counter()
         bytes_up = frames_u16.nbytes
         bytes_read = host.nbytes
-        print(json.dumps({
+        _emit({
             "metric": metric,
             "value": round(fps, 3),
             "unit": "frames/s",
@@ -265,7 +277,7 @@ def main() -> None:
                 "read_mb_s": round(bytes_read / 1e6 / max(t4 - t3, 1e-9),
                                    1),
             },
-        }))
+        })
         return
 
     if args.window == "r1":
@@ -283,12 +295,12 @@ def main() -> None:
         assert checksum != 0
         dt = (time.perf_counter() - t0) / (ITERS * BATCH)
         fps = 1.0 / dt
-        print(json.dumps({
+        _emit({
             "metric": metric,
             "value": round(fps, 3),
             "unit": "frames/s",
             "vs_baseline": round(fps / ASSUMED_BASELINE_FPS, 3),
-        }))
+        })
         return
 
     # Steady-state throughput.  The per-frame loop runs ON DEVICE
@@ -326,12 +338,12 @@ def main() -> None:
     assert checksum != 0
     dt = (time.perf_counter() - t0) / (reps * n_window)
     fps = 1.0 / dt
-    print(json.dumps({
+    _emit({
         "metric": metric,
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / ASSUMED_BASELINE_FPS, 3),
-    }))
+    })
 
 
 def _bench_latency(tag: str) -> None:
@@ -385,7 +397,7 @@ def _bench_latency(tag: str) -> None:
 
     wall_ms = best_wall * 1e3
     ref_latency_ms = 1e3 / ASSUMED_BASELINE_FPS
-    print(json.dumps({
+    _emit({
         "metric": f"mip_search_{tag}_single_frame_latency_ms",
         "value": round(wall_ms, 2),
         "unit": "ms",
@@ -396,7 +408,7 @@ def _bench_latency(tag: str) -> None:
             "in_jit_compute_ms": round(in_jit_ms, 2),
             "n_devices": len(jax.local_devices()),
         },
-    }))
+    })
 
 
 def _timed(thunk) -> float:
@@ -440,7 +452,7 @@ def _bench_with_export(one_frame, frames_np, metric: str) -> None:
         shutil.rmtree(outdir, ignore_errors=True)
     n_frames = ITERS * BATCH
     fps = n_frames / (t2 - t0)
-    print(json.dumps({
+    _emit({
         "metric": metric,
         "value": round(fps, 3),
         "unit": "frames/s",
@@ -452,7 +464,7 @@ def _bench_with_export(one_frame, frames_np, metric: str) -> None:
             "export_mb_s": round(csv_bytes / 1e6 / max(t2 - t1, 1e-9), 1),
             "frames": n_frames,
         },
-    }))
+    })
 
 
 def _transient(exc: Exception) -> bool:

@@ -110,10 +110,28 @@ def test_fetch_lever_interpret(fetch):
         f"fetch={fetch}: {mism.sum()} mismatches")
 
 
+def _assert_rowband_routed(routed_log):
+    """The 128-wide test geometry pads every lattice to 128 lanes, so the
+    production fill gate would route NOTHING and the rowband tests would
+    pass vacuously (VERDICT r4 weak #1: exactly that happened when the
+    gate landed after the tests).  The tests lower the gate; this asserts
+    the override worked — both kernel families actually computed groups."""
+    covered = {cls: idx for cls, idx in routed_log if idx}
+    assert covered, f"rowband routed nothing: {routed_log}"
+    sid2 = [c for c in covered if min(
+        int(c.split("x")[0]), int(c.split("x")[1])) >= 8
+        and c not in ("8x8", "8x4", "4x8")]
+    mm = [c for c in covered if c in ("8x8", "8x4", "4x8", "4x4")]
+    assert sid2, f"no SizeId2 class routed rowband_distortion: {covered}"
+    assert mm, f"no SizeId0/1 class routed rowband_distortion_mm: {covered}"
+
+
 def test_rowband_filtered_interpret():
     """VVC_ROWBAND=1 in the alternative-samples regime: the boundary
     boxes must come from the FILTERED slab while og stays on the
-    original frame (rowband_boxes' two phase-tensor families)."""
+    original frame (rowband_boxes' two phase-tensor families).  The fill
+    gate is lowered so the small geometry actually routes the kernels
+    (asserted via _RB_ROUTED_LOG)."""
     from vvc_mip_gpu_tpu.models import cost_engine as ce
     from vvc_mip_gpu_tpu.ops.filters import filter_frames
 
@@ -121,14 +139,19 @@ def test_rowband_filtered_interpret():
     ref = np.asarray(filter_frames(
         frame[None].astype(np.int32),
         "filterFrame_2d_int_quarterCtu", 2))[0]
-    old = (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._ROWBAND)
+    old = (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._ROWBAND,
+           ce._RB_MIN_FILL, ce._RB_ROUTED_LOG)
     ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET = True, True
     ce._ROWBAND = "1"
+    ce._RB_MIN_FILL = 0.0
+    ce._RB_ROUTED_LOG = routed = []
     try:
         got = MipCostEngine(128, 192, max_performance=True)(
             frame.astype(np.int32), ref.astype(np.int32))
     finally:
-        (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._ROWBAND) = old
+        (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._ROWBAND,
+         ce._RB_MIN_FILL, ce._RB_ROUTED_LOG) = old
+    _assert_rowband_routed(routed)
     exp = gm.frame_costs(frame, ref.astype(np.int64))
     valid = np.asarray(got.valid)
     e = gm.flatten_strided(exp, "min_sad_had")
@@ -139,21 +162,29 @@ def test_rowband_filtered_interpret():
 
 @pytest.mark.parametrize("max_performance", [True, False])
 def test_rowband_lever_interpret(max_performance):
-    """VVC_ROWBAND=1 (SizeId2 classes via the phase-space row-band
-    kernel, ops/pallas/rowband.py) must be bit-exact through the engine
+    """VVC_ROWBAND=1 (default class set via the phase-space row-band
+    kernels, ops/pallas/rowband.py) must be bit-exact through the engine
     in both emit regimes.  192 rows give a partial bottom CTU so the
-    padded row bands and edge-replicated windows are exercised."""
+    padded row bands and edge-replicated windows are exercised.  The
+    fill gate is lowered so the small geometry actually routes both
+    rowband_distortion (SizeId2) and rowband_distortion_mm (SizeId1)
+    — asserted non-vacuous via _RB_ROUTED_LOG."""
     from vvc_mip_gpu_tpu.models import cost_engine as ce
 
     frame = RNG.integers(0, 1024, size=(192, 128), dtype=np.int64)
-    old = (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._ROWBAND)
+    old = (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._ROWBAND,
+           ce._RB_MIN_FILL, ce._RB_ROUTED_LOG)
     ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET = True, True
     ce._ROWBAND = "1"
+    ce._RB_MIN_FILL = 0.0
+    ce._RB_ROUTED_LOG = routed = []
     try:
         got = MipCostEngine(128, 192, max_performance=max_performance)(
             frame.astype(np.int32))
     finally:
-        (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._ROWBAND) = old
+        (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._ROWBAND,
+         ce._RB_MIN_FILL, ce._RB_ROUTED_LOG) = old
+    _assert_rowband_routed(routed)
     exp = gm.frame_costs(frame, frame)
     valid = np.asarray(got.valid)
     fields = (("min_sad_had",) if max_performance
@@ -163,6 +194,70 @@ def test_rowband_lever_interpret(max_performance):
         a = np.asarray(getattr(got, field), np.int64)
         mism = (e != a) & valid
         assert not mism.any(), f"{field}: {mism.sum()} mismatches"
+
+
+def test_rowband_k16_lever_interpret():
+    """VVC_RB_K=16 (double band height) must stay bit-exact — the band
+    padding (n_r=12 rows at 192 height pads to 16) and the gate's
+    k-aware VMEM bound (fixed r5: the r4 gate hardcoded k=8) both ride
+    this lever."""
+    from vvc_mip_gpu_tpu.models import cost_engine as ce
+
+    frame = RNG.integers(0, 1024, size=(192, 128), dtype=np.int64)
+    old = (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._ROWBAND,
+           ce._RB_MIN_FILL, ce._RB_ROUTED_LOG, ce._RB_K)
+    ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET = True, True
+    ce._ROWBAND = "1"
+    ce._RB_MIN_FILL = 0.0
+    ce._RB_K = 16
+    ce._RB_ROUTED_LOG = routed = []
+    try:
+        got = MipCostEngine(128, 192, max_performance=True)(
+            frame.astype(np.int32))
+    finally:
+        (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._ROWBAND,
+         ce._RB_MIN_FILL, ce._RB_ROUTED_LOG, ce._RB_K) = old
+    _assert_rowband_routed(routed)
+    exp = gm.frame_costs(frame, frame)
+    valid = np.asarray(got.valid)
+    e = gm.flatten_strided(exp, "min_sad_had")
+    a = np.asarray(got.min_sad_had, np.int64)
+    mism = (e != a) & valid
+    assert not mism.any(), f"{mism.sum()} mismatches"
+
+
+@pytest.mark.parametrize("res", [(1920, 1080), (3840, 2160)])
+@pytest.mark.parametrize("k", [8, 16])
+def test_rowband_gate_respects_vmem_budget(res, k):
+    """Every group the routing gate admits at production geometry must
+    have its og box — at the ACTUAL configured band height — inside the
+    scoped-VMEM budget, for the default class set and 'all', across the
+    VVC_RB_K lever.  Pins the r5 fix for the r4 k=8-hardcoded gate
+    (the Mosaic OOM class of evidence/tpu_tune_r4e_fail1.log must be
+    impossible at the Python level)."""
+    from vvc_mip_gpu_tpu.models import cost_engine as ce
+    from vvc_mip_gpu_tpu.ops.geometry import class_plans
+
+    w_f, h_f = res
+    old_k = ce._RB_K
+    ce._RB_K = k
+    admitted = 0
+    try:
+        for cplan in class_plans(w_f, h_f):
+            w, h = cplan.shape.width, cplan.shape.height
+            for gp in cplan.groups:
+                if (ce._group_stride(gp) is None
+                        or not ce._rb_group_eligible(gp, w, h)):
+                    continue
+                admitted += 1
+                c_pad = -(-gp.n_cols // 128) * 128
+                box_bytes = w * k * h * c_pad * 2
+                assert box_bytes <= ce._RB_VMEM_BUDGET, (
+                    f"{w}x{h} group {gp.group_index} k={k}: "
+                    f"og box {box_bytes}B exceeds budget")
+    finally:
+        ce._RB_K = old_k
+    assert admitted, "gate admitted no groups at production geometry"
 
 
 @pytest.mark.slow

@@ -145,10 +145,20 @@ def test_bit_exact_default_levers_on_tpu(tpu_backend, res, filtered):
     {"VVC_SID0_LIMBS": "xla"},
     {"VVC_SID1_LIMBS": "xla"},
     {"VVC_SID0_LIMBS": "xla", "VVC_SID1_LIMBS": "xla"},
-    # r4: the SizeId2 row-band path (ops/pallas/rowband.py) — its DMA
+    # r5 (ADVICE r4): VVC_ROWBAND defaults to 1, so the OFF side of the
+    # lever — the fallback path for gate-excluded classes — is what
+    # needs non-default hardware coverage now.
+    {"VVC_ROWBAND": "0"},
+    # r4/r5: the row-band path with every class routed (ops/pallas/
+    # rowband.py) — at 416x240 this routes the 4-wide SizeId1/0 classes
+    # through rowband_distortion_mm (evidence/tpu_tune_r4g.log); its DMA
     # box geometry and in-kernel band transposes are exactly the kind
     # of surface that only real Mosaic lowering exercises.
-    {"VVC_ROWBAND": "1"},
+    {"VVC_ROWBAND": "1", "VVC_RB_CLASSES": "all"},
+    # The band-height lever with the k-aware VMEM gate (r5 fix); the
+    # trimmed default set routes nothing at this width, so pair it with
+    # "all" so the k=16 band padding actually executes on hardware.
+    {"VVC_ROWBAND": "1", "VVC_RB_CLASSES": "all", "VVC_RB_K": "16"},
 ], ids=lambda d: ",".join(f"{k[4:].lower()}={v}" for k, v in d.items()))
 def test_bit_exact_lever_matrix_on_tpu(tpu_backend, tmp_path, levers):
     """Every lever combination, 416x240 max-performance, in a SUBPROCESS

@@ -109,6 +109,24 @@ _ROWBAND: str = _os.environ.get("VVC_ROWBAND", "1")
 _RB_DEFAULT_CLASSES = "16x8,8x16,16x16,16x32,8x8,8x4"
 _RB_CLASSES: str = _os.environ.get("VVC_RB_CLASSES", _RB_DEFAULT_CLASSES)
 
+# Row-band band height (rows of the lattice per grid step).  Read at
+# import like the other levers; the VMEM eligibility gate below is
+# computed from THIS value so raising it can never route a group whose
+# og box exceeds the scoped-VMEM budget (the r4 gate hardcoded k=8 in
+# the check, making VVC_RB_K=16 lever-unsafe — the Mosaic OOM class of
+# evidence/tpu_tune_r4e_fail1.log).
+_RB_K: int = int(_os.environ.get("VVC_RB_K", "8"))
+# Routing-gate thresholds, module-level so tests can lower them to
+# force the row-band path at small geometries (mirroring
+# _PALLAS_OVERRIDE): minimum lattice-column lane fill and the scoped
+# VMEM budget one k-band og box may occupy.
+_RB_MIN_FILL: float = 0.9
+_RB_VMEM_BUDGET: int = 2 << 20
+# When a list, _class_costs_rowband appends ("WxH", sorted(covered
+# group indices)) at trace time — lets tests assert the gate actually
+# routed something instead of passing vacuously (VERDICT r4 weak #1).
+_RB_ROUTED_LOG: list | None = None
+
 
 
 def _use_pallas() -> bool:
@@ -169,7 +187,8 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
     rb_covered: frozenset[int] = frozenset()
     if (use_pallas and _ROWBAND == "1" and f_frame is not None
             and (_RB_CLASSES == "all"
-                 or f"{w}x{h}" in _RB_CLASSES.split(","))):
+                 or f"{w}x{h}" in {c.strip()
+                                   for c in _RB_CLASSES.split(",")})):
         rb_out, rb_covered = _class_costs_rowband(
             cplan, f_frame, f_slab, is_top, max_performance)
         if len(rb_covered) == len(cplan.groups):
@@ -324,6 +343,20 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
     return out
 
 
+def _rb_group_eligible(gp, w: int, h: int) -> bool:
+    """Row-band routing gate for one uniform-stride group: reject
+    lattices whose lane padding is wasteful (< _RB_MIN_FILL fill of the
+    128-padded column count) or whose [w, _RB_K, h, C] og box — at the
+    ACTUAL configured band height — would crowd the scoped-VMEM budget
+    (the Mosaic OOM class of evidence/tpu_tune_r4e_fail1.log)."""
+    if gp.y_prog is None:
+        return False  # non-uniform lattice: default path
+    c_pad = -(-gp.n_cols // 128) * 128
+    if gp.n_cols / c_pad < _RB_MIN_FILL:
+        return False  # coarse stride: lane padding too wasteful
+    return w * _RB_K * h * c_pad * 2 <= _RB_VMEM_BUDGET
+
+
 def _class_costs_rowband(cplan: ClassPlan, f_frame, f_slab, is_top,
                          max_performance: bool):
     """SizeId2 class costs via the row-band kernel (VVC_ROWBAND=1):
@@ -357,25 +390,22 @@ def _class_costs_rowband(cplan: ClassPlan, f_frame, f_slab, is_top,
     by_stride: dict[int, list] = {}
     for gp in cplan.groups:
         s = _group_stride(gp)
-        if s is None or gp.y_prog is None:
-            continue  # non-uniform lattice: default path
-        c_pad = -(-gp.n_cols // 128) * 128
-        if gp.n_cols / c_pad < 0.9:
-            continue  # coarse stride: lane padding too wasteful
-        if w * 8 * h * c_pad * 2 > (2 << 20):
-            continue  # k=8 og block would crowd scoped VMEM
+        if s is None or not _rb_group_eligible(gp, w, h):
+            continue
         by_stride.setdefault(s, []).append(gp)
 
     out: dict[int, object] = {}
     covered = frozenset(gp.group_index
                         for gps in by_stride.values() for gp in gps)
+    if _RB_ROUTED_LOG is not None:
+        _RB_ROUTED_LOG.append((f"{w}x{h}", sorted(covered)))
     for s, gps in sorted(by_stride.items()):
         boxes = [soa.rowband_boxes(f_frame[s], f_slab[s], gp, is_top)
                  for gp in gps]
         og = jnp.concatenate([b[0] for b in boxes], axis=1)
         rt = jnp.concatenate([b[1] for b in boxes], axis=1)
         rl = jnp.concatenate([b[2] for b in boxes], axis=0)
-        kk = int(_os.environ.get("VVC_RB_K", "8"))
+        kk = _RB_K
         emit = "msh_t" if max_performance else "sad_satd_t"
         if sid == 2:
             res = rowband_distortion(
