@@ -226,6 +226,51 @@ def test_rowband_k16_lever_interpret():
     assert not mism.any(), f"{mism.sum()} mismatches"
 
 
+def test_rowband_pack_lever_interpret():
+    """VVC_RB_PACK=1 (lane-packing of coarse-stride lattices): with the
+    fill bar set between 1x and 2x fill at this geometry, the gate must
+    route pack factors 1, 2 AND 4 simultaneously (n_c=16/8/4 lattices at
+    128-wide frames) and stay bit-exact — the packed-lane kernel runs,
+    and the XLA unpack restores lattice order."""
+    from vvc_mip_gpu_tpu.models import cost_engine as ce
+
+    frame = RNG.integers(0, 1024, size=(192, 128), dtype=np.int64)
+    old = (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._ROWBAND,
+           ce._RB_MIN_FILL, ce._RB_ROUTED_LOG, ce._RB_PACK)
+    ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET = True, True
+    ce._ROWBAND = "1"
+    ce._RB_MIN_FILL = 0.12   # n_c=16 passes at p=1; 8 needs p=2; 4 p=4
+    ce._RB_PACK = "1"
+    ce._RB_ROUTED_LOG = routed = []
+    try:
+        # Verify the gate really hands out all three pack factors here.
+        from vvc_mip_gpu_tpu.ops.geometry import class_plans
+
+        packs = set()
+        for cplan in class_plans(128, 192):
+            cw, chh = cplan.shape.width, cplan.shape.height
+            if f"{cw}x{chh}" not in ce._RB_DEFAULT_CLASSES.split(","):
+                continue
+            for gp in cplan.groups:
+                if ce._group_stride(gp) is not None:
+                    p = ce._rb_pack_factor(gp, cw, chh)
+                    if p:
+                        packs.add(p)
+        assert {1, 2, 4} <= packs, f"pack factors exercised: {packs}"
+        got = MipCostEngine(128, 192, max_performance=True)(
+            frame.astype(np.int32))
+    finally:
+        (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._ROWBAND,
+         ce._RB_MIN_FILL, ce._RB_ROUTED_LOG, ce._RB_PACK) = old
+    _assert_rowband_routed(routed)
+    exp = gm.frame_costs(frame, frame)
+    valid = np.asarray(got.valid)
+    e = gm.flatten_strided(exp, "min_sad_had")
+    a = np.asarray(got.min_sad_had, np.int64)
+    mism = (e != a) & valid
+    assert not mism.any(), f"{mism.sum()} mismatches"
+
+
 @pytest.mark.parametrize("res", [(1920, 1080), (3840, 2160)])
 @pytest.mark.parametrize("k", [8, 16])
 def test_rowband_gate_respects_vmem_budget(res, k):
@@ -239,24 +284,28 @@ def test_rowband_gate_respects_vmem_budget(res, k):
     from vvc_mip_gpu_tpu.ops.geometry import class_plans
 
     w_f, h_f = res
-    old_k = ce._RB_K
+    old = ce._RB_K, ce._RB_PACK
     ce._RB_K = k
     admitted = 0
     try:
-        for cplan in class_plans(w_f, h_f):
-            w, h = cplan.shape.width, cplan.shape.height
-            for gp in cplan.groups:
-                if (ce._group_stride(gp) is None
-                        or not ce._rb_group_eligible(gp, w, h)):
-                    continue
-                admitted += 1
-                c_pad = -(-gp.n_cols // 128) * 128
-                box_bytes = w * k * h * c_pad * 2
-                assert box_bytes <= ce._RB_VMEM_BUDGET, (
-                    f"{w}x{h} group {gp.group_index} k={k}: "
-                    f"og box {box_bytes}B exceeds budget")
+        for pack_lever in ("0", "1"):
+            ce._RB_PACK = pack_lever
+            for cplan in class_plans(w_f, h_f):
+                w, h = cplan.shape.width, cplan.shape.height
+                for gp in cplan.groups:
+                    if ce._group_stride(gp) is None:
+                        continue
+                    p = ce._rb_pack_factor(gp, w, h)
+                    if p is None:
+                        continue
+                    admitted += 1
+                    c_pad = -(-(p * gp.n_cols) // 128) * 128
+                    box_bytes = w * k * h * c_pad * 2
+                    assert box_bytes <= ce._RB_VMEM_BUDGET, (
+                        f"{w}x{h} group {gp.group_index} k={k} p={p}: "
+                        f"og box {box_bytes}B exceeds budget")
     finally:
-        ce._RB_K = old_k
+        ce._RB_K, ce._RB_PACK = old
     assert admitted, "gate admitted no groups at production geometry"
 
 

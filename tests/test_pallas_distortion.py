@@ -237,6 +237,46 @@ def test_rowband_kernel_matches_soa(w, h, emit):
                                           np.asarray(exp_satd).T)
 
 
+def test_rowband_boxes_pack_equivalence():
+    """Lane-packed boxes (pack=2) must produce, after unpacking, exactly
+    the pack=1 kernel results — the packing is pure lane placement and
+    the kernel is lane-independent."""
+    from vvc_mip_gpu_tpu.models.cost_engine import _group_stride
+    from vvc_mip_gpu_tpu.ops.geometry import class_plans
+    from vvc_mip_gpu_tpu.ops.pallas import pred as pallas_pred
+    from vvc_mip_gpu_tpu.ops.pallas.distortion import input_perms
+    from vvc_mip_gpu_tpu.ops.pallas.rowband import rowband_distortion
+
+    width, height = 128, 192
+    w, h = 16, 16
+    frame = RNG.integers(0, 1024, (height, width), np.int64)
+    cplan = next(c for c in class_plans(width, height)
+                 if (c.shape.width, c.shape.height) == (w, h))
+    r = cplan.shape.reduced_pred_size
+    gp = next(g for g in cplan.groups
+              if _group_stride(g) is not None and g.y_prog is not None
+              and g.n_rows > 2)  # odd/even split + row padding at play
+    s = _group_stride(gp)
+    _, _, f_frame, f_slab = _rb_prep(width, height, frame, [s])
+    pred_perm = tuple(int(v) for v in input_perms(h, w, r)[0])
+    mat = jnp.asarray(pallas_pred._augmented_matrix(2, pred_perm, False))
+    kw = dict(h=h, w=w, r=r, two_m=12, emit="msh_t", interpret=True)
+    n_r, n_c = gp.n_rows, gp.n_cols
+
+    og1, rt1, rl1 = soa.rowband_boxes(f_frame[s], f_slab[s], gp, True)
+    r1 = np.asarray(rowband_distortion(og1, rt1, rl1, mat, **kw))
+
+    og2, rt2, rl2 = soa.rowband_boxes(f_frame[s], f_slab[s], gp, True,
+                                      pack=2)
+    r2p = np.asarray(rowband_distortion(og2, rt2, rl2, mat, **kw))
+    # unpack: packed row t, lane block q = lattice row t*2+q
+    n_rp = -(-n_r // 2)
+    unpacked = np.stack([r2p[:, q * n_c:(q + 1) * n_c]
+                         for q in range(2)], axis=1)
+    unpacked = unpacked.reshape(n_rp * 2, n_c, 12)[:n_r]
+    np.testing.assert_array_equal(unpacked, r1[:, :n_c])
+
+
 def test_rowband_kernel_k16_band_padding():
     """k=16 bands with n_r < 16: the padded bands must compute on zeros
     and slice off, leaving the real rows bit-identical to k=8."""

@@ -159,6 +159,10 @@ def test_bit_exact_default_levers_on_tpu(tpu_backend, res, filtered):
     # trimmed default set routes nothing at this width, so pair it with
     # "all" so the k=16 band padding actually executes on hardware.
     {"VVC_ROWBAND": "1", "VVC_RB_CLASSES": "all", "VVC_RB_K": "16"},
+    # r5 lane packing: at this width the default-set n_c=32 partitions
+    # route at pack=4 (128/128 lane fill) — hardware coverage of the
+    # packed box DMA + XLA unpack.
+    {"VVC_ROWBAND": "1", "VVC_RB_PACK": "1"},
 ], ids=lambda d: ",".join(f"{k[4:].lower()}={v}" for k, v in d.items()))
 def test_bit_exact_lever_matrix_on_tpu(tpu_backend, tmp_path, levers):
     """Every lever combination, 416x240 max-performance, in a SUBPROCESS

@@ -25,6 +25,13 @@ from vvc_mip_gpu_tpu.ops import mip_ops_soa as soa
 from vvc_mip_gpu_tpu.ops.geometry import class_plans
 
 W, H = 1920, 1080
+import os as _os
+
+if _os.environ.get("VVC_PROF_RES"):
+    # e.g. VVC_PROF_RES=3840x2160 — the 4K tuning runs (the reference's
+    # second benchmark workload, powerTracer_NVIDIA.py:33-80) reuse this
+    # harness and tools/profile_incontext.py (which reads ps.W/ps.H).
+    W, H = (int(v) for v in _os.environ["VVC_PROF_RES"].lower().split("x"))
 K = 48
 
 

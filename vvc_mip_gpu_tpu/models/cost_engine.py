@@ -116,6 +116,13 @@ _RB_CLASSES: str = _os.environ.get("VVC_RB_CLASSES", _RB_DEFAULT_CLASSES)
 # the check, making VVC_RB_K=16 lever-unsafe — the Mosaic OOM class of
 # evidence/tpu_tune_r4e_fail1.log).
 _RB_K: int = int(_os.environ.get("VVC_RB_K", "8"))
+# Lane-packing lever (r5): route coarse-stride groups (e.g. the
+# 60-column stride-32 partitions at 1080p, 47% lane fill) by packing
+# 2 or 4 consecutive lattice rows side-by-side along the lane axis
+# (fill 120/128) — the kernels are lane-independent so they run
+# unchanged; the costs unpack in XLA.  A/B lever pending hardware
+# measurement.
+_RB_PACK: str = _os.environ.get("VVC_RB_PACK", "0")
 # Routing-gate thresholds, module-level so tests can lower them to
 # force the row-band path at small geometries (mirroring
 # _PALLAS_OVERRIDE): minimum lattice-column lane fill and the scoped
@@ -343,18 +350,38 @@ def _class_costs(frame, ref_ext, is_top, cplan: ClassPlan,
     return out
 
 
-def _rb_group_eligible(gp, w: int, h: int) -> bool:
-    """Row-band routing gate for one uniform-stride group: reject
-    lattices whose lane padding is wasteful (< _RB_MIN_FILL fill of the
-    128-padded column count) or whose [w, _RB_K, h, C] og box — at the
-    ACTUAL configured band height — would crowd the scoped-VMEM budget
-    (the Mosaic OOM class of evidence/tpu_tune_r4e_fail1.log)."""
+def _rb_pack_factor(gp, w: int, h: int) -> int | None:
+    """Row-band routing gate for one uniform-stride group: the lane-pack
+    factor to run it with, or None for the default path.
+
+    pack=1 when the lattice columns fill >= _RB_MIN_FILL of the
+    128-padded lane tile; otherwise (with the VVC_RB_PACK lever on) the
+    smallest pack in {2, 4} whose side-by-side row packing reaches the
+    fill bar (e.g. the 60-column stride-32 groups at 1080p: 2*60=120 of
+    128).  Rejected either way if the [w, _RB_K, h, C] og box — at the
+    ACTUAL configured band height and PACKED lane width — would crowd
+    the scoped-VMEM budget (the Mosaic OOM class of
+    evidence/tpu_tune_r4e_fail1.log)."""
     if gp.y_prog is None:
-        return False  # non-uniform lattice: default path
-    c_pad = -(-gp.n_cols // 128) * 128
-    if gp.n_cols / c_pad < _RB_MIN_FILL:
-        return False  # coarse stride: lane padding too wasteful
-    return w * _RB_K * h * c_pad * 2 <= _RB_VMEM_BUDGET
+        return None  # non-uniform lattice: default path
+    pack = None
+    for p in (1, 2, 4):
+        if p > 1 and _RB_PACK != "1":
+            break
+        cp = -(-(p * gp.n_cols) // 128) * 128
+        if (p * gp.n_cols) / cp >= _RB_MIN_FILL:
+            pack = p
+            break
+    if pack is None:
+        return None  # lane padding too wasteful even packed
+    cp = -(-(pack * gp.n_cols) // 128) * 128
+    if w * _RB_K * h * cp * 2 > _RB_VMEM_BUDGET:
+        return None  # the k-band og block would crowd scoped VMEM
+    return pack
+
+
+def _rb_group_eligible(gp, w: int, h: int) -> bool:
+    return _rb_pack_factor(gp, w, h) is not None
 
 
 def _class_costs_rowband(cplan: ClassPlan, f_frame, f_slab, is_top,
@@ -387,20 +414,27 @@ def _class_costs_rowband(cplan: ClassPlan, f_frame, f_slab, is_top,
         # orig (the kernel indexes the og box statically, so no perm).
         mat = jnp.asarray(pallas_pred._augmented_matrix(sid, None, True))
 
-    by_stride: dict[int, list] = {}
+    # Partition by (lattice stride, pack factor): groups in one
+    # partition share a kernel call (their bands concatenate on the
+    # row axis; same packed lane width by construction).
+    by_part: dict[tuple[int, int], list] = {}
     for gp in cplan.groups:
         s = _group_stride(gp)
-        if s is None or not _rb_group_eligible(gp, w, h):
+        if s is None:
             continue
-        by_stride.setdefault(s, []).append(gp)
+        p = _rb_pack_factor(gp, w, h)
+        if p is None:
+            continue
+        by_part.setdefault((s, p), []).append(gp)
 
     out: dict[int, object] = {}
     covered = frozenset(gp.group_index
-                        for gps in by_stride.values() for gp in gps)
+                        for gps in by_part.values() for gp in gps)
     if _RB_ROUTED_LOG is not None:
         _RB_ROUTED_LOG.append((f"{w}x{h}", sorted(covered)))
-    for s, gps in sorted(by_stride.items()):
-        boxes = [soa.rowband_boxes(f_frame[s], f_slab[s], gp, is_top)
+    for (s, p), gps in sorted(by_part.items()):
+        boxes = [soa.rowband_boxes(f_frame[s], f_slab[s], gp, is_top,
+                                   pack=p)
                  for gp in gps]
         og = jnp.concatenate([b[0] for b in boxes], axis=1)
         rt = jnp.concatenate([b[1] for b in boxes], axis=1)
@@ -419,16 +453,25 @@ def _class_costs_rowband(cplan: ClassPlan, f_frame, f_slab, is_top,
         off = 0
         for gp in gps:
             n_r, n_c = gp.n_rows, gp.n_cols
+            n_rp = -(-n_r // p)  # packed row count of this group
 
             def _blk(t):
-                b = t[off:off + n_r, :n_c].reshape(n_r * n_c, two_m)
-                return gp.lattice_costs_to_ctu_mode_minor(b)
+                b = t[off:off + n_rp]
+                if p > 1:
+                    # packed row t, lane block q = lattice row t*p+q
+                    b = jnp.stack([b[:, q * n_c:(q + 1) * n_c]
+                                   for q in range(p)], axis=1)
+                    b = b.reshape(n_rp * p, n_c, two_m)[:n_r]
+                else:
+                    b = b[:, :n_c]
+                return gp.lattice_costs_to_ctu_mode_minor(
+                    b.reshape(n_r * n_c, two_m))
 
             if max_performance:
                 out[gp.group_index] = _blk(res)
             else:
                 out[gp.group_index] = (_blk(res[0]), _blk(res[1]))
-            off += n_r
+            off += n_rp
     return out, covered
 
 

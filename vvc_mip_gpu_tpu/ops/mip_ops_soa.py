@@ -378,7 +378,8 @@ def gather_originals(frame_pad, plan: GroupPlan,
     return tile.reshape(h * w, plan.n_rows * plan.n_cols)
 
 
-def rowband_boxes(f4_frame, f4_slab, plan: GroupPlan, is_top):
+def rowband_boxes(f4_frame, f4_slab, plan: GroupPlan, is_top,
+                  pack: int = 1):
     """Phase-space input boxes for the row-band kernel
     (ops/pallas/rowband.py): og [w, n_r, h, C], ref_t [w, n_r, C] and
     ref_l [n_r, h, C], VVC edge rules pre-applied to the boundaries and
@@ -387,6 +388,14 @@ def rowband_boxes(f4_frame, f4_slab, plan: GroupPlan, is_top):
     — for the aligned stride==w, sy==h groups the og box is a pure view
     — replacing the lane/sublane-crossing SoA transposes of
     gather_originals_phase4 / gather_boundaries_phase4.
+
+    ``pack``: lane-pack factor for coarse-stride lattices whose column
+    count fills < ~half the 128-lane tile (e.g. the 60-column stride-32
+    groups at 1080p): ``pack`` consecutive lattice ROWS are placed
+    side-by-side along the lane axis (packed row t, lane block q =
+    lattice row t*pack + q), raising fill from 60/128 to 120/128.  The
+    kernels are lane-independent, so they run unchanged; callers unpack
+    the cost rows (see cost_engine._class_costs_rowband).
     """
     w, h = plan.width, plan.height
     s = f4_frame.shape[0]
@@ -394,7 +403,9 @@ def rowband_boxes(f4_frame, f4_slab, plan: GroupPlan, is_top):
     oy = int(plan.ys[0])
     sy = plan.y_prog[1] if plan.n_rows > 1 else h
     n_r, n_c = plan.n_rows, plan.n_cols
-    c_pad = -(-n_c // 128) * 128
+    # pack>1 builds at the exact column count and lane-pads after the
+    # row packing below; pack==1 pads straight to the 128 multiple.
+    c_pad = n_c if pack > 1 else -(-n_c // 128) * 128
 
     def _lanes(a):
         """Slice/pad the minor axis to the 128-padded column count."""
@@ -441,6 +452,23 @@ def rowband_boxes(f4_frame, f4_slab, plan: GroupPlan, is_top):
     fix_l[:n_c] = plan.xs[:n_c] == 0
     rl = jnp.where(jnp.asarray(fix_l)[None, None, :],
                    pad_rows[:, None, None], rl)
+    if pack > 1:
+        # Zero-pad the row axis to a pack multiple (padded rows compute
+        # garbage the caller slices off), then place each residue-q row
+        # subsequence in lane block q and pad lanes to a 128 multiple.
+        rp = (-n_r) % pack
+        if rp:
+            og = jnp.pad(og, [(0, 0), (0, rp), (0, 0), (0, 0)])
+            rt = jnp.pad(rt, [(0, 0), (0, rp), (0, 0)])
+            rl = jnp.pad(rl, [(0, rp), (0, 0), (0, 0)])
+        og = jnp.concatenate([og[:, q::pack] for q in range(pack)], -1)
+        rt = jnp.concatenate([rt[:, q::pack] for q in range(pack)], -1)
+        rl = jnp.concatenate([rl[q::pack] for q in range(pack)], -1)
+        lp = (-og.shape[-1]) % 128
+        if lp:
+            og = jnp.pad(og, [(0, 0), (0, 0), (0, 0), (0, lp)])
+            rt = jnp.pad(rt, [(0, 0), (0, 0), (0, lp)])
+            rl = jnp.pad(rl, [(0, 0), (0, 0), (0, lp)])
     return og, rt, rl
 
 
