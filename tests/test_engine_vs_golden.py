@@ -271,15 +271,49 @@ def test_rowband_pack_lever_interpret():
     assert not mism.any(), f"{mism.sum()} mismatches"
 
 
+def test_rowband_band_shrink_interpret():
+    """When a partition's og box exceeds the VMEM budget at the
+    configured band height, the engine must run it at a halved k (the
+    4K 256-lane fix) — bit-exactness across mixed band heights."""
+    from vvc_mip_gpu_tpu.models import cost_engine as ce
+
+    frame = RNG.integers(0, 1024, size=(192, 128), dtype=np.int64)
+    old = (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._ROWBAND,
+           ce._RB_MIN_FILL, ce._RB_ROUTED_LOG, ce._RB_VMEM_BUDGET)
+    ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET = True, True
+    ce._ROWBAND = "1"
+    ce._RB_MIN_FILL = 0.0
+    # 256 KB: 16x32 boxes (128 lanes) shrink to k=2, 16x16 to k=4,
+    # 16x8/8x8 to k=8 — several band heights in one frame.
+    ce._RB_VMEM_BUDGET = 256 << 10
+    ce._RB_ROUTED_LOG = routed = []
+    try:
+        assert ce._rb_band_k(16, 32, 128) == 2
+        assert ce._rb_band_k(16, 16, 128) == 4
+        got = MipCostEngine(128, 192, max_performance=True)(
+            frame.astype(np.int32))
+    finally:
+        (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._ROWBAND,
+         ce._RB_MIN_FILL, ce._RB_ROUTED_LOG, ce._RB_VMEM_BUDGET) = old
+    _assert_rowband_routed(routed)
+    exp = gm.frame_costs(frame, frame)
+    valid = np.asarray(got.valid)
+    e = gm.flatten_strided(exp, "min_sad_had")
+    a = np.asarray(got.min_sad_had, np.int64)
+    mism = (e != a) & valid
+    assert not mism.any(), f"{mism.sum()} mismatches"
+
+
 @pytest.mark.parametrize("res", [(1920, 1080), (3840, 2160)])
 @pytest.mark.parametrize("k", [8, 16])
 def test_rowband_gate_respects_vmem_budget(res, k):
     """Every group the routing gate admits at production geometry must
-    have its og box — at the ACTUAL configured band height — inside the
-    scoped-VMEM budget, for the default class set and 'all', across the
-    VVC_RB_K lever.  Pins the r5 fix for the r4 k=8-hardcoded gate
-    (the Mosaic OOM class of evidence/tpu_tune_r4e_fail1.log must be
-    impossible at the Python level)."""
+    run at a band height whose og box fits the scoped-VMEM budget, for
+    the default class set and 'all', across the VVC_RB_K lever and both
+    pack settings.  Pins the r5 fixes for two Mosaic stack-OOM escapes:
+    the r4 k=8-hardcoded gate (evidence/tpu_tune_r4e_fail1.log) and the
+    4K 256-lane partition that sailed through the 2MB box proxy at ~10x
+    actual scoped usage (evidence/tpu_batch_r5.log, first 4K run)."""
     from vvc_mip_gpu_tpu.models import cost_engine as ce
     from vvc_mip_gpu_tpu.ops.geometry import class_plans
 
@@ -300,9 +334,13 @@ def test_rowband_gate_respects_vmem_budget(res, k):
                         continue
                     admitted += 1
                     c_pad = -(-(p * gp.n_cols) // 128) * 128
-                    box_bytes = w * k * h * c_pad * 2
+                    kk = ce._rb_band_k(w, h, c_pad)
+                    assert kk is not None and kk >= 1, (
+                        f"{w}x{h} group {gp.group_index}: admitted "
+                        "but no band height fits")
+                    box_bytes = w * kk * h * c_pad * 2
                     assert box_bytes <= ce._RB_VMEM_BUDGET, (
-                        f"{w}x{h} group {gp.group_index} k={k} p={p}: "
+                        f"{w}x{h} group {gp.group_index} k={kk} p={p}: "
                         f"og box {box_bytes}B exceeds budget")
     finally:
         ce._RB_K, ce._RB_PACK = old

@@ -126,9 +126,16 @@ _RB_PACK: str = _os.environ.get("VVC_RB_PACK", "0")
 # Routing-gate thresholds, module-level so tests can lower them to
 # force the row-band path at small geometries (mirroring
 # _PALLAS_OVERRIDE): minimum lattice-column lane fill and the scoped
-# VMEM budget one k-band og box may occupy.
+# VMEM budget one k-band og box may occupy.  The budget is a PROXY for
+# Mosaic's 16M scoped-vmem limit: measured scoped usage is ~10x the
+# int16 og box (the kernel's int32 og/diff plane families plus the
+# double-buffered block DMA) — the r4 2MB budget let the 4K 16x32
+# partition (256 lanes, box 2MB -> 20.5M scoped) through to a Mosaic
+# stack OOM (evidence/tpu_batch_r5.log, first 4K default-lever run).
+# 1MB (~10.3M scoped) is the empirically-good 1080p ceiling; larger
+# boxes now shrink the band height instead of OOMing (_rb_band_k).
 _RB_MIN_FILL: float = 0.9
-_RB_VMEM_BUDGET: int = 2 << 20
+_RB_VMEM_BUDGET: int = 1 << 20
 # When a list, _class_costs_rowband appends ("WxH", sorted(covered
 # group indices)) at trace time — lets tests assert the gate actually
 # routed something instead of passing vacuously (VERDICT r4 weak #1).
@@ -375,9 +382,22 @@ def _rb_pack_factor(gp, w: int, h: int) -> int | None:
     if pack is None:
         return None  # lane padding too wasteful even packed
     cp = -(-(pack * gp.n_cols) // 128) * 128
-    if w * _RB_K * h * cp * 2 > _RB_VMEM_BUDGET:
-        return None  # the k-band og block would crowd scoped VMEM
+    if _rb_band_k(w, h, cp) is None:
+        return None  # og block over budget even at k=1
     return pack
+
+
+def _rb_band_k(w: int, h: int, c_pad: int) -> int | None:
+    """Band height for a rowband partition: the configured _RB_K, halved
+    until the [w, k, h, c_pad] og box fits the scoped-VMEM budget (wide
+    4K partitions run shorter bands instead of OOMing Mosaic's stack);
+    None if even k=1 does not fit."""
+    kk = _RB_K
+    while kk >= 1:
+        if w * kk * h * c_pad * 2 <= _RB_VMEM_BUDGET:
+            return kk
+        kk //= 2
+    return None
 
 
 def _rb_group_eligible(gp, w: int, h: int) -> bool:
@@ -439,7 +459,7 @@ def _class_costs_rowband(cplan: ClassPlan, f_frame, f_slab, is_top,
         og = jnp.concatenate([b[0] for b in boxes], axis=1)
         rt = jnp.concatenate([b[1] for b in boxes], axis=1)
         rl = jnp.concatenate([b[2] for b in boxes], axis=0)
-        kk = _RB_K
+        kk = _rb_band_k(w, h, og.shape[-1])
         emit = "msh_t" if max_performance else "sad_satd_t"
         if sid == 2:
             res = rowband_distortion(
