@@ -271,37 +271,33 @@ def test_rowband_pack_lever_interpret():
     assert not mism.any(), f"{mism.sum()} mismatches"
 
 
-def test_rowband_band_shrink_interpret():
-    """When a partition's og box exceeds the VMEM budget at the
-    configured band height, the engine must run it at a halved k (the
-    4K 256-lane fix) — bit-exactness across mixed band heights."""
+def test_rowband_lane_tiling():
+    """Over-budget og boxes must LANE-TILE (grid over 128-lane tiles of
+    the column axis at full k) rather than shrink the band height below
+    8 — Mosaic's block-mapping rule requires the reft block's sublane
+    dim (k) to be a multiple of 8, which the first r5 band-shrink fix
+    violated (evidence/tpu_batch_r5.log, 4K smoke failure: interpret
+    mode does not check block rules, so only hardware lowering saw it).
+
+    Checks the _rb_tiling policy here; the kernel-level cl<C grid
+    equivalence lives in test_pallas_distortion.py
+    (test_rowband_kernel_lane_tiling)."""
     from vvc_mip_gpu_tpu.models import cost_engine as ce
 
-    frame = RNG.integers(0, 1024, size=(192, 128), dtype=np.int64)
-    old = (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._ROWBAND,
-           ce._RB_MIN_FILL, ce._RB_ROUTED_LOG, ce._RB_VMEM_BUDGET)
-    ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET = True, True
-    ce._ROWBAND = "1"
-    ce._RB_MIN_FILL = 0.0
-    # 256 KB: 16x32 boxes (128 lanes) shrink to k=2, 16x16 to k=4,
-    # 16x8/8x8 to k=8 — several band heights in one frame.
-    ce._RB_VMEM_BUDGET = 256 << 10
-    ce._RB_ROUTED_LOG = routed = []
+    old_budget = ce._RB_VMEM_BUDGET
     try:
-        assert ce._rb_band_k(16, 32, 128) == 2
-        assert ce._rb_band_k(16, 16, 128) == 4
-        got = MipCostEngine(128, 192, max_performance=True)(
-            frame.astype(np.int32))
+        ce._RB_VMEM_BUDGET = 256 << 10
+        # 16x8 @128 lanes: box 256KB at (k=8, cl=128) — fits as-is.
+        assert ce._rb_tiling(16, 8, 128) == (8, 128)
+        # 16x8 @256 lanes: 512KB at cl=256 -> lane-tiles to cl=128.
+        assert ce._rb_tiling(16, 8, 256) == (8, 128)
+        # 16x16 @128: 512KB even at cl=128, k=8 -> ineligible (k may
+        # NOT shrink below 8; the gate must reject, not OOM Mosaic).
+        assert ce._rb_tiling(16, 16, 128) is None
     finally:
-        (ce._PALLAS_OVERRIDE, ce._PALLAS_INTERPRET, ce._ROWBAND,
-         ce._RB_MIN_FILL, ce._RB_ROUTED_LOG, ce._RB_VMEM_BUDGET) = old
-    _assert_rowband_routed(routed)
-    exp = gm.frame_costs(frame, frame)
-    valid = np.asarray(got.valid)
-    e = gm.flatten_strided(exp, "min_sad_had")
-    a = np.asarray(got.min_sad_had, np.int64)
-    mism = (e != a) & valid
-    assert not mism.any(), f"{mism.sum()} mismatches"
+        ce._RB_VMEM_BUDGET = old_budget
+    # Production default budget admits the 4K shapes via lane tiling.
+    assert ce._rb_tiling(16, 32, 256) == (8, 128)
 
 
 @pytest.mark.parametrize("res", [(1920, 1080), (3840, 2160)])
@@ -334,14 +330,21 @@ def test_rowband_gate_respects_vmem_budget(res, k):
                         continue
                     admitted += 1
                     c_pad = -(-(p * gp.n_cols) // 128) * 128
-                    kk = ce._rb_band_k(w, h, c_pad)
-                    assert kk is not None and kk >= 1, (
+                    tiling = ce._rb_tiling(w, h, c_pad)
+                    assert tiling is not None, (
                         f"{w}x{h} group {gp.group_index}: admitted "
-                        "but no band height fits")
-                    box_bytes = w * kk * h * c_pad * 2
+                        "but no legal tiling fits")
+                    kk, cl = tiling
+                    # Mosaic block-mapping legality (interpret mode
+                    # does not check these — the r5 band-shrink escape)
+                    assert kk % 8 == 0, (w, h, kk)
+                    assert cl % 128 == 0 and c_pad % cl == 0, (
+                        w, h, cl, c_pad)
+                    box_bytes = w * kk * h * cl * 2
                     assert box_bytes <= ce._RB_VMEM_BUDGET, (
-                        f"{w}x{h} group {gp.group_index} k={kk} p={p}: "
-                        f"og box {box_bytes}B exceeds budget")
+                        f"{w}x{h} group {gp.group_index} k={kk} "
+                        f"cl={cl} p={p}: og box {box_bytes}B exceeds "
+                        "budget")
     finally:
         ce._RB_K, ce._RB_PACK = old
     assert admitted, "gate admitted no groups at production geometry"

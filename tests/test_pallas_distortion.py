@@ -305,3 +305,52 @@ def test_rowband_kernel_k16_band_padding():
     np.testing.assert_array_equal(np.asarray(r8), np.asarray(r16))
 
 
+def test_rowband_kernel_lane_tiling():
+    """cl < C: the kernel grids over 128-lane tiles of the column axis
+    (the 4K wide-partition path, cost_engine._rb_tiling) — duplicating
+    a real group's box to C=256 and running cl=128 must reproduce the
+    single-tile result in both lane tiles, for both kernels."""
+    from vvc_mip_gpu_tpu.models.cost_engine import _group_stride
+    from vvc_mip_gpu_tpu.ops.geometry import class_plans
+    from vvc_mip_gpu_tpu.ops.pallas import pred as pallas_pred
+    from vvc_mip_gpu_tpu.ops.pallas.distortion import input_perms
+    from vvc_mip_gpu_tpu.ops.pallas.rowband import (
+        rowband_distortion, rowband_distortion_mm)
+
+    width, height = 128, 128
+    frame = RNG.integers(0, 1024, (height, width), np.int64)
+    for (w, h), mm in (((16, 16), False), ((8, 4), True)):
+        cplan = next(c for c in class_plans(width, height)
+                     if (c.shape.width, c.shape.height) == (w, h))
+        sid = cplan.shape.size_id
+        r = cplan.shape.reduced_pred_size
+        from vvc_mip_gpu_tpu.constants import PRED_MODES
+
+        two_m = 2 * PRED_MODES[sid]
+        gp = next(g for g in cplan.groups
+                  if _group_stride(g) is not None
+                  and g.y_prog is not None)
+        s = _group_stride(gp)
+        _, _, f_frame, f_slab = _rb_prep(width, height, frame, [s])
+        og, rt, rl = soa.rowband_boxes(f_frame[s], f_slab[s], gp, True)
+        if mm:
+            mat = jnp.asarray(
+                pallas_pred._augmented_matrix(sid, None, True))
+            fn = lambda *a, **k: rowband_distortion_mm(
+                *a, bs=cplan.shape.boundary_size, **k)
+        else:
+            perm = tuple(int(v) for v in input_perms(h, w, r)[0])
+            mat = jnp.asarray(
+                pallas_pred._augmented_matrix(2, perm, False))
+            fn = rowband_distortion
+        kw = dict(h=h, w=w, r=r, two_m=two_m, emit="msh_t",
+                  interpret=True)
+        base = np.asarray(fn(og, rt, rl, mat, **kw))
+        og2 = jnp.concatenate([og, og], -1)
+        rt2 = jnp.concatenate([rt, rt], -1)
+        rl2 = jnp.concatenate([rl, rl], -1)
+        tiled = np.asarray(fn(og2, rt2, rl2, mat, cl=128, **kw))
+        np.testing.assert_array_equal(tiled[:, :128], base)
+        np.testing.assert_array_equal(tiled[:, 128:], base)
+
+

@@ -133,7 +133,11 @@ _RB_PACK: str = _os.environ.get("VVC_RB_PACK", "0")
 # partition (256 lanes, box 2MB -> 20.5M scoped) through to a Mosaic
 # stack OOM (evidence/tpu_batch_r5.log, first 4K default-lever run).
 # 1MB (~10.3M scoped) is the empirically-good 1080p ceiling; larger
-# boxes now shrink the band height instead of OOMing (_rb_band_k).
+# boxes grid over 128-lane tiles of the column axis instead of OOMing
+# (_rb_tiling — NOT by shrinking the band height below 8: Mosaic's
+# sublane rule requires the reft block's k to be a multiple of 8, which
+# the first r5 band-shrink fix violated; interpret mode does not check
+# block-mapping rules, so only the hardware run caught it).
 _RB_MIN_FILL: float = 0.9
 _RB_VMEM_BUDGET: int = 1 << 20
 # When a list, _class_costs_rowband appends ("WxH", sorted(covered
@@ -382,20 +386,30 @@ def _rb_pack_factor(gp, w: int, h: int) -> int | None:
     if pack is None:
         return None  # lane padding too wasteful even packed
     cp = -(-(pack * gp.n_cols) // 128) * 128
-    if _rb_band_k(w, h, cp) is None:
-        return None  # og block over budget even at k=1
+    if _rb_tiling(w, h, cp) is None:
+        return None  # og block over budget even at k=8, cl=128
     return pack
 
 
-def _rb_band_k(w: int, h: int, c_pad: int) -> int | None:
-    """Band height for a rowband partition: the configured _RB_K, halved
-    until the [w, k, h, c_pad] og box fits the scoped-VMEM budget (wide
-    4K partitions run shorter bands instead of OOMing Mosaic's stack);
-    None if even k=1 does not fit."""
-    kk = _RB_K
-    while kk >= 1:
-        if w * kk * h * c_pad * 2 <= _RB_VMEM_BUDGET:
-            return kk
+def _rb_tiling(w: int, h: int, c_pad: int) -> tuple[int, int] | None:
+    """(band height k, lane-tile width cl) for a rowband partition, or
+    None if no legal tiling fits the scoped-VMEM budget.
+
+    The [w, k, h, cl] og box must fit _RB_VMEM_BUDGET.  Wide partitions
+    (4K: c_pad 256+) shrink cl — the kernel grids over 128-lane tiles of
+    the column axis, each grid step a hardware-native tile — BEFORE
+    shrinking k, and k never drops below 8: Mosaic's block-mapping rule
+    needs the reft block's sublane dim (k) to be a multiple of 8."""
+    kk = max(8, _RB_K)
+    while kk >= 8:
+        cl = c_pad
+        while True:
+            if w * kk * h * cl * 2 <= _RB_VMEM_BUDGET:
+                return kk, cl
+            if cl <= 128:
+                break
+            half = cl // 2
+            cl = half if half % 128 == 0 and c_pad % half == 0 else 128
         kk //= 2
     return None
 
@@ -459,16 +473,16 @@ def _class_costs_rowband(cplan: ClassPlan, f_frame, f_slab, is_top,
         og = jnp.concatenate([b[0] for b in boxes], axis=1)
         rt = jnp.concatenate([b[1] for b in boxes], axis=1)
         rl = jnp.concatenate([b[2] for b in boxes], axis=0)
-        kk = _rb_band_k(w, h, og.shape[-1])
+        kk, cl = _rb_tiling(w, h, og.shape[-1])
         emit = "msh_t" if max_performance else "sad_satd_t"
         if sid == 2:
             res = rowband_distortion(
                 og, rt, rl, mat, h=h, w=w, r=r, two_m=two_m, emit=emit,
-                k=kk, interpret=_PALLAS_INTERPRET)
+                k=kk, cl=cl, interpret=_PALLAS_INTERPRET)
         else:
             res = rowband_distortion_mm(
                 og, rt, rl, mat, h=h, w=w, r=r, two_m=two_m,
-                bs=shape.boundary_size, emit=emit, k=kk,
+                bs=shape.boundary_size, emit=emit, k=kk, cl=cl,
                 interpret=_PALLAS_INTERPRET)
         off = 0
         for gp in gps:

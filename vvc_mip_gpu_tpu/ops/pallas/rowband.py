@@ -351,37 +351,53 @@ def _mod4_major_w(n: int):
     return _mod4_major(n)
 
 
+def _band_grid(k: int, cl: int, n_pad: int, C: int):
+    """Grid + index maps shared by both rowband wrappers: bands on the
+    row axis x 128-lane tiles on the column axis (cl < C only when the
+    [w, k, h, C] og box would crowd Mosaic's scoped VMEM — wide 4K
+    partitions; see cost_engine._rb_tiling).  Mosaic's block-mapping
+    rules are asserted HERE because interpret mode does not check them
+    (the r5 band-shrink regression: k=4 passed every CPU test and
+    failed hardware lowering)."""
+    assert C % 128 == 0, C
+    assert cl % 128 == 0 and C % cl == 0, (cl, C)
+    assert k % 8 == 0 or k == n_pad, (k, n_pad)
+    assert n_pad % k == 0, (n_pad, k)
+    return (n_pad // k, C // cl)
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "h", "w", "r", "two_m", "bs", "emit", "k", "interpret", "dc_row0"))
+    "h", "w", "r", "two_m", "bs", "emit", "k", "cl", "interpret",
+    "dc_row0"))
 def rowband_distortion_mm(og, reft, refl, mat, *, h, w, r, two_m, bs,
-                          emit="msh_t", k=8, interpret=False,
+                          emit="msh_t", k=8, cl=None, interpret=False,
                           dc_row0=True):
     """Mode-minor row-band wrapper (SizeId0/1 classes): same box
     contract as rowband_distortion; ``mat`` is the mode-minor augmented
     matrix (rows (s, m)); ``bs`` the boundary size (2 for SizeId0,
     4 for SizeId1); ``dc_row0`` the 512-first DC offset rule."""
     n_r, C = og.shape[1], og.shape[3]
-    assert C % 128 == 0, C
+    cl = C if cl is None else cl
     pad = (-n_r) % k
     if pad:
         og = jnp.pad(og, [(0, 0), (0, pad), (0, 0), (0, 0)])
         reft = jnp.pad(reft, [(0, 0), (0, pad), (0, 0)])
         refl = jnp.pad(refl, [(0, pad), (0, 0), (0, 0)])
     n_pad = n_r + pad
-    grid = (n_pad // k,)
+    grid = _band_grid(k, cl, n_pad, C)
     rows_m, k_dim = mat.shape
     in_specs = [
-        pl.BlockSpec((rows_m, k_dim), lambda i: (0, 0),
+        pl.BlockSpec((rows_m, k_dim), lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((w, k, h, C), lambda i: (0, i, 0, 0),
+        pl.BlockSpec((w, k, h, cl), lambda i, j: (0, i, 0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((w, k, C), lambda i: (0, i, 0),
+        pl.BlockSpec((w, k, cl), lambda i, j: (0, i, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((k, h, C), lambda i: (i, 0, 0),
+        pl.BlockSpec((k, h, cl), lambda i, j: (i, 0, j),
                      memory_space=pltpu.VMEM),
     ]
     n_outs = 1 if emit == "msh_t" else 2
-    out_specs = [pl.BlockSpec((k, C, two_m), lambda i: (i, 0, 0),
+    out_specs = [pl.BlockSpec((k, cl, two_m), lambda i, j: (i, j, 0),
                               memory_space=pltpu.VMEM)] * n_outs
     out_shape = [jax.ShapeDtypeStruct((n_pad, C, two_m),
                                       jnp.int32)] * n_outs
@@ -407,22 +423,24 @@ def rowband_distortion_mm(og, reft, refl, mat, *, h, w, r, two_m, bs,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "h", "w", "r", "two_m", "emit", "k", "unroll", "interpret"))
+    "h", "w", "r", "two_m", "emit", "k", "cl", "unroll", "interpret"))
 def rowband_distortion(og, reft, refl, mat, *, h, w, r, two_m,
-                       emit="msh_t", k=8, unroll=0, interpret=False):
+                       emit="msh_t", k=8, cl=None, unroll=0,
+                       interpret=False):
     """Fused pred+upsample+SAD/SATD over phase-space row bands.
 
     og   [w, n_r, h, C] int16   reft [w, n_r, C] int16
     refl [n_r, h, C] int16      mat  [2M*r*r, K] bf16 augmented matrix
     (boundary edge rules must already be applied to reft/refl; C is the
-    lane-padded lattice column count).
+    lane-padded lattice column count; ``cl`` the lane-tile width the
+    grid walks C in — defaults to C, i.e. one tile).
 
     Returns [n_r, C, 2M] int32 minSadHad (emit="msh_t") or a
     (sad, satd) pair of the same shape — lattice order, mode-minor;
     callers slice C back to the true column count.
     """
     n_r, C = og.shape[1], og.shape[3]
-    assert C % 128 == 0, C
+    cl = C if cl is None else cl
     pad = (-n_r) % k
     if pad:
         # Pad the row-band axis to the band size; the padded bands
@@ -431,29 +449,29 @@ def rowband_distortion(og, reft, refl, mat, *, h, w, r, two_m,
         reft = jnp.pad(reft, [(0, 0), (0, pad), (0, 0)])
         refl = jnp.pad(refl, [(0, pad), (0, 0), (0, 0)])
     n_pad = n_r + pad
-    grid = (n_pad // k,)
+    grid = _band_grid(k, cl, n_pad, C)
 
     eff_unroll = unroll or (
-        two_m if _grouped_unrolled(h, w, two_m, True, k * C) else 1)
+        two_m if _grouped_unrolled(h, w, two_m, True, k * cl) else 1)
     rows_m, k_dim = mat.shape
     in_specs = [
-        pl.BlockSpec((rows_m, k_dim), lambda i: (0, 0),
+        pl.BlockSpec((rows_m, k_dim), lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((w, k, h, C), lambda i: (0, i, 0, 0),
+        pl.BlockSpec((w, k, h, cl), lambda i, j: (0, i, 0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((w, k, C), lambda i: (0, i, 0),
+        pl.BlockSpec((w, k, cl), lambda i, j: (0, i, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((k, h, C), lambda i: (i, 0, 0),
+        pl.BlockSpec((k, h, cl), lambda i, j: (i, 0, j),
                      memory_space=pltpu.VMEM),
     ]
     n_outs = 1 if emit == "msh_t" else 2
-    out_specs = [pl.BlockSpec((k, C, two_m), lambda i: (i, 0, 0),
+    out_specs = [pl.BlockSpec((k, cl, two_m), lambda i, j: (i, j, 0),
                               memory_space=pltpu.VMEM)] * n_outs
     out_shape = [jax.ShapeDtypeStruct((n_pad, C, two_m),
                                       jnp.int32)] * n_outs
-    scratch = [pltpu.VMEM((two_m, k, C), jnp.int32)] * 2
+    scratch = [pltpu.VMEM((two_m, k, cl), jnp.int32)] * 2
     if eff_unroll < two_m:
-        scratch.append(pltpu.VMEM((two_m * r * r, k * C), jnp.int32))
+        scratch.append(pltpu.VMEM((two_m * r * r, k * cl), jnp.int32))
     outs = pl.pallas_call(
         functools.partial(_kernel_rowband, h=h, w=w, r=r, two_m=two_m,
                           emit=emit, unroll=eff_unroll),
