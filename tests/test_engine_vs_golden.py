@@ -298,6 +298,11 @@ def test_rowband_lane_tiling():
         ce._RB_VMEM_BUDGET = old_budget
     # Production default budget admits the 4K shapes via lane tiling.
     assert ce._rb_tiling(16, 32, 256) == (8, 128)
+    # The scoped estimator must catch the predv-dominated OOM the box
+    # proxy missed (4K 8x16 @512 lanes: box 1MB but scoped 17.15M on
+    # hardware — evidence/tpu_batch_r5.log part-B 4K re-run).
+    assert ce._rb_scoped_est(8, 16, 8, 512) > ce._RB_SCOPED_LIMIT
+    assert ce._rb_tiling(8, 16, 512) == (8, 256)
 
 
 @pytest.mark.parametrize("res", [(1920, 1080), (3840, 2160)])
@@ -345,6 +350,10 @@ def test_rowband_gate_respects_vmem_budget(res, k):
                         f"{w}x{h} group {gp.group_index} k={kk} "
                         f"cl={cl} p={p}: og box {box_bytes}B exceeds "
                         "budget")
+                    est = ce._rb_scoped_est(w, h, kk, cl)
+                    assert est <= ce._RB_SCOPED_LIMIT, (
+                        f"{w}x{h} k={kk} cl={cl}: scoped est {est}B "
+                        "exceeds limit")
     finally:
         ce._RB_K, ce._RB_PACK = old
     assert admitted, "gate admitted no groups at production geometry"

@@ -19,6 +19,21 @@ log "probe $(date -u +%H:%M:%S)"
 timeout -k 10 120 python -c "import jax; print(jax.devices())" \
     >> "$LOG" 2>&1 || { log "RELAY DOWN"; exit 1; }
 
+# 4K compile+run smoke under the scoped-estimate gate (part B's 4K
+# bit-exact failed twice: band-shrink k=4 lowering, then the 8x16@512
+# predv-dominated scoped OOM the box proxy missed).
+log "4K compile smoke (scoped-est gate) $(date -u +%H:%M:%S)"
+timeout 2400 python - >> "$LOG" 2>&1 <<'EOF'
+import numpy as np, jax
+from vvc_mip_gpu_tpu.models.cost_engine import MipCostEngine
+from vvc_mip_gpu_tpu.io.frames import synthetic_frames
+f = synthetic_frames(1, 3840, 2160)[0].astype(np.int32)
+eng = MipCostEngine(3840, 2160, max_performance=True)
+out = eng(f)
+print("4K smoke OK", int(np.asarray(out.min_sad_had).ravel()[-1]))
+EOF
+log "4K smoke rc=$? $(date -u +%H:%M:%S)"
+
 # Default-config e2e under the lane-tile code (1080p tilings are
 # identical at k=8, so this should reproduce ~8.13 ms).
 log "e2e-max default (lane-tile code) $(date -u +%H:%M:%S)"
@@ -68,6 +83,14 @@ side mip_search_3840x2160_frames_per_second \
 log "rb compile probe $(date -u +%H:%M:%S)"
 timeout 3600 python tools/rb_compile_probe.py --compile \
     8x4 4x8 4x16 16x4 2>&1 | grep -v WARNING >> "$LOG"
+
+# The full 4K bit-exact run (CPU golden grind + TPU diff) — LAST so
+# the timed entries above land even if the relay window closes.
+log "tpu bit-exact 4K re-run #2 (scoped-est gate) $(date -u +%H:%M:%S)"
+VVC_TPU_TESTS=1 timeout 7200 python -m pytest \
+    tests/test_tpu_bit_exact.py -m tpu -q \
+    -k "default_levers and res3" >> "$LOG" 2>&1
+log "4K bit-exact rc=$? $(date -u +%H:%M:%S)"
 
 log "done $(date -u +%H:%M:%S)"
 

@@ -391,11 +391,40 @@ def _rb_pack_factor(gp, w: int, h: int) -> int | None:
     return pack
 
 
+def _rb_scoped_est(w: int, h: int, kk: int, cl: int) -> int:
+    """Estimated Mosaic scoped-VMEM bytes for one rowband grid step.
+
+    The og box proxy alone is NOT enough: the 4K 8x16 partition
+    (512 lanes) fit the 1MB box budget yet OOMed the 16M scoped stack
+    at 17.15M (evidence/tpu_batch_r5.log, part-B 4K re-run) because the
+    predv stage — [2M*r*r, k*cl] int32, materialized whether unrolled
+    or as explicit scratch — is 12.6MB at cl=512 and scales with two_m,
+    not with the box.  Model the two dominant families separately:
+    predv exactly, plus ~8x the int16 box for the og int32 copies and
+    the per-mode upsample/Hadamard planes (calibrated: 16x32@128 est
+    11.1M vs 10.3M measured; 8x16@512 est 20.6M vs 17.15M measured)."""
+    sid = 0 if (w, h) == (4, 4) else (
+        1 if min(w, h) == 4 or (w, h) == (8, 8) else 2)
+    r = 4 if sid < 2 else 8
+    two_m = 2 * PRED_MODES[sid]
+    box = w * kk * h * cl * 2
+    predv = 4 * two_m * r * r * kk * cl
+    return predv + 8 * box
+
+
+# Headroom under Mosaic's 16M scoped-vmem limit for the slack the
+# estimator doesn't model (boundary row planes, limb stack, DMA
+# double-buffering) and its error band (observed up to ~1M over on the
+# box-dominated shapes).
+_RB_SCOPED_LIMIT: int = 13 << 20
+
+
 def _rb_tiling(w: int, h: int, c_pad: int) -> tuple[int, int] | None:
     """(band height k, lane-tile width cl) for a rowband partition, or
     None if no legal tiling fits the scoped-VMEM budget.
 
-    The [w, k, h, cl] og box must fit _RB_VMEM_BUDGET.  Wide partitions
+    The [w, k, h, cl] og box must fit _RB_VMEM_BUDGET and the
+    _rb_scoped_est model must clear _RB_SCOPED_LIMIT.  Wide partitions
     (4K: c_pad 256+) shrink cl — the kernel grids over 128-lane tiles of
     the column axis, each grid step a hardware-native tile — BEFORE
     shrinking k, and k never drops below 8: Mosaic's block-mapping rule
@@ -404,7 +433,8 @@ def _rb_tiling(w: int, h: int, c_pad: int) -> tuple[int, int] | None:
     while kk >= 8:
         cl = c_pad
         while True:
-            if w * kk * h * cl * 2 <= _RB_VMEM_BUDGET:
+            if (w * kk * h * cl * 2 <= _RB_VMEM_BUDGET
+                    and _rb_scoped_est(w, h, kk, cl) <= _RB_SCOPED_LIMIT):
                 return kk, cl
             if cl <= 128:
                 break
