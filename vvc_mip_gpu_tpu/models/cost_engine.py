@@ -103,9 +103,12 @@ _ROWBAND: str = _os.environ.get("VVC_ROWBAND", "1")
 # 16x8 0.70 vs 0.86, 8x8 0.56 vs 0.97; 8x16/16x16/16x32/8x4 neutral
 # (kept — they drop relayout HBM traffic at equal time).  Excluded
 # measured losers: 8x32 (0.61 vs 0.46), 4x4 (0.67 vs 0.60), 16x4
-# (0.66 vs 0.61); 4x8/4x16 excluded pending compile-time
-# investigation (their w=4 rowband programs compile very slowly).
-# Override: VVC_RB_CLASSES="16x8,8x16" or "all".
+# (0.66 vs 0.61).  4x8/4x16 were excluded in r4 "pending compile-time
+# investigation"; the r5 probe showed the blowup no longer reproduces
+# (tools/rb_compile_probe.py: trace+lower <4 s, Mosaic backend <2 s
+# per w=4 kernel, evidence/tpu_batch_r5.log part C) and the whole-set
+# A/B keeps them out on perf alone (RB_CLASSES=all 8.22 ms vs trimmed
+# 8.09, same batch).  Override: VVC_RB_CLASSES="16x8,8x16" or "all".
 _RB_DEFAULT_CLASSES = "16x8,8x16,16x16,16x32,8x8,8x4"
 _RB_CLASSES: str = _os.environ.get("VVC_RB_CLASSES", _RB_DEFAULT_CLASSES)
 
