@@ -99,8 +99,15 @@ def _emit_error(reason: str) -> None:
 import jax
 import jax.numpy as jnp
 W, H = 1920, 1080
-BATCH = 8  # frames per dispatch (the analog of the reference's
-           # BUFFER_SLOTS pipelining, main_aux_functions.h:5)
+BATCH = 16  # frames per dispatch (the analog of the reference's
+            # BUFFER_SLOTS pipelining, main_aux_functions.h:5).
+            # batch 8 was the r1-window sweep winner and was never
+            # re-swept after the r3 on-device fori_loop window; the r5
+            # sweep on that window measures 8 -> 108.1 fps, 12 ->
+            # 130.2, 16 -> 130.6-130.8 (repeated), 24 -> 131.1,
+            # 32 -> 131.3 (evidence/batch_sweep_r5.log): per-window
+            # dispatch overhead amortizes until a ~131 fps plateau
+            # at >=16.  16 sits on the plateau at the lowest memory.
 WARMUP = 1
 ITERS = 6
 
