@@ -74,7 +74,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--BatchFrames", type=int, default=8,
                    help="Frames kept in flight per dispatch window "
                         "(the analog of the reference's BUFFER_SLOTS "
-                        "pipelining; 8 measured optimal on TPU v5e)")
+                        "pipelining).  Throughput plateaus from ~16 "
+                        "(evidence/batch_sweep_r5.log), but the CLI "
+                        "reads back full cost tensors per chunk, so 8 "
+                        "stays the default to bound the HBM/readback "
+                        "footprint of --FullDistortion runs; raise it "
+                        "for max-performance throughput runs")
     p.add_argument("--Resume", action="store_true",
                    help="Skip frames whose decisions CSV already exists "
                         "(checkpoint/resume for long multi-frame runs)")
