@@ -303,6 +303,19 @@ def test_rowband_lane_tiling():
     # hardware — evidence/tpu_batch_r5.log part-B 4K re-run).
     assert ce._rb_scoped_est(8, 16, 8, 512) > ce._RB_SCOPED_LIMIT
     assert ce._rb_tiling(8, 16, 512) == (8, 256)
+    # VVC_RB_K values that are not multiples of 8 must round down to a
+    # legal band height, never reach _band_grid's legality assert
+    # (e.g. K=24 halving to 12 would be an illegal sublane block).
+    old_k = ce._RB_K
+    try:
+        for bad_k in (12, 24, 9):
+            ce._RB_K = bad_k
+            for (w, h, cp) in ((16, 16, 128), (16, 32, 256),
+                               (8, 16, 512)):
+                t = ce._rb_tiling(w, h, cp)
+                assert t is not None and t[0] % 8 == 0, (bad_k, w, h, t)
+    finally:
+        ce._RB_K = old_k
 
 
 @pytest.mark.parametrize("res", [(1920, 1080), (3840, 2160)])

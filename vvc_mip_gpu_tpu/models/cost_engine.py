@@ -394,6 +394,18 @@ def _rb_pack_factor(gp, w: int, h: int) -> int | None:
     return pack
 
 
+@functools.cache
+def _shape_params(w: int, h: int) -> tuple[int, int]:
+    """(reduced_pred_size, total_modes) for a CU shape, from the
+    canonical constants.shape_classes() table (no re-derived SizeId
+    rule to drift from it)."""
+    from vvc_mip_gpu_tpu.constants import shape_classes
+
+    sc = next(s for s in shape_classes()
+              if (s.width, s.height) == (w, h))
+    return sc.reduced_pred_size, sc.total_modes
+
+
 def _rb_scoped_est(w: int, h: int, kk: int, cl: int) -> int:
     """Estimated Mosaic scoped-VMEM bytes for one rowband grid step.
 
@@ -406,10 +418,7 @@ def _rb_scoped_est(w: int, h: int, kk: int, cl: int) -> int:
     predv exactly, plus ~8x the int16 box for the og int32 copies and
     the per-mode upsample/Hadamard planes (calibrated: 16x32@128 est
     11.1M vs 10.3M measured; 8x16@512 est 20.6M vs 17.15M measured)."""
-    sid = 0 if (w, h) == (4, 4) else (
-        1 if min(w, h) == 4 or (w, h) == (8, 8) else 2)
-    r = 4 if sid < 2 else 8
-    two_m = 2 * PRED_MODES[sid]
+    r, two_m = _shape_params(w, h)
     box = w * kk * h * cl * 2
     predv = 4 * two_m * r * r * kk * cl
     return predv + 8 * box
@@ -432,8 +441,11 @@ def _rb_tiling(w: int, h: int, c_pad: int) -> tuple[int, int] | None:
     the column axis, each grid step a hardware-native tile — BEFORE
     shrinking k, and k never drops below 8: Mosaic's block-mapping rule
     needs the reft block's sublane dim (k) to be a multiple of 8."""
-    kk = max(8, _RB_K)
-    while kk >= 8:
+    # Round any VVC_RB_K down to a multiple of 8 (Mosaic's sublane
+    # rule); halving below likewise re-rounds, so e.g. K=24 tries
+    # 24 -> 8, never an illegal 12-row band.
+    kk = max(8, _RB_K // 8 * 8)
+    while True:
         cl = c_pad
         while True:
             if (w * kk * h * cl * 2 <= _RB_VMEM_BUDGET
@@ -443,26 +455,23 @@ def _rb_tiling(w: int, h: int, c_pad: int) -> tuple[int, int] | None:
                 break
             half = cl // 2
             cl = half if half % 128 == 0 and c_pad % half == 0 else 128
-        kk //= 2
-    return None
-
-
-def _rb_group_eligible(gp, w: int, h: int) -> bool:
-    return _rb_pack_factor(gp, w, h) is not None
+        if kk == 8:
+            return None
+        kk = max(8, kk // 2 // 8 * 8)
 
 
 def _class_costs_rowband(cplan: ClassPlan, f_frame, f_slab, is_top,
                          max_performance: bool):
-    """SizeId2 class costs via the row-band kernel (VVC_ROWBAND=1):
+    """Class costs via the row-band kernels (VVC_ROWBAND=1):
     phase-space boxes in, [n_r, C, 2M] lattice-order mode-minor costs
     out — no materialized orig/boundary relayouts (see
-    ops/pallas/rowband.py).  Groups sharing a lattice stride share one
-    kernel call (same box column count).  Returns (blocks, covered):
-    only stride partitions whose lane padding is small (C >= 120, i.e.
-    <=6.7% dead lanes — the coarse strides pad 60 or 30 up to 128,
-    doubling-to-quadrupling kernel work) and whose k-band og block fits
-    VMEM comfortably are taken; the rest stay on the default path
-    (mixed per-class routing)."""
+    ops/pallas/rowband.py).  Groups sharing a (lattice stride, pack
+    factor) share one kernel call.  Returns (blocks, covered): a
+    partition is taken when _rb_pack_factor admits it — lane fill
+    >= _RB_MIN_FILL at some pack in {1, 2, 4} (VVC_RB_PACK gates >1)
+    AND _rb_tiling finds a (band height k, lane-tile width cl) whose
+    og box and scoped-VMEM estimate fit the budgets; the rest stay on
+    the default gather path (mixed per-class routing)."""
     from vvc_mip_gpu_tpu.ops.pallas import pred as pallas_pred
     from vvc_mip_gpu_tpu.ops.pallas.distortion import input_perms
     from vvc_mip_gpu_tpu.ops.pallas.rowband import (
